@@ -1,0 +1,127 @@
+"""Blocking: key tables, skew-safe candidate-pair generation, stats.
+
+The reference builds ``dict {block_key: [row indices]}`` in Python
+loops and takes within-key Cartesian products (blocking_B1.py:79-89,
+130-154). Here a blocking pass is a ``(record_id, block_key)``
+DataFrame and candidate generation is an equi-join on ``block_key`` —
+the within-block Cartesian product is exactly the join output, and
+Spark executes it shuffle-partitioned with AQE skew splitting.
+
+Skew controls (SURVEY §4 — absent in the reference, mandatory at web
+scale where mega-domains create hot keys):
+
+- **block-size cap**: blocks larger than ``max_block_size`` are split
+  deterministically into sub-blocks by ``pmod(xxhash64(id), n_sub)``.
+  This bounds the quadratic pair blowup per key. The cap changes the
+  candidate set (documented, deterministic, recorded in stats).
+- **AQE skew-join** handles residual imbalance at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_table(df: DataFrame, id_col: str, key_expr: Column, pass_name: str) -> DataFrame:
+    """(id, block_key, pass) rows; null keys dropped (blocking_B1.py:85)."""
+    return (
+        df.select(F.col(id_col).alias("id"), key_expr.alias("block_key"))
+        .where(F.col("block_key").isNotNull())
+        .withColumn("pass", F.lit(pass_name))
+    )
+
+
+def cap_blocks(keys: DataFrame, max_block_size: int) -> DataFrame:
+    """Deterministically split oversized blocks into ~max_block_size
+    sub-blocks: key -> key#salt with salt = pmod(xxhash64(id), n_sub).
+
+    Uses a broadcast of the (small) oversized-key list, so normal keys
+    take the fast path untouched.
+    """
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("n"))
+    big = sizes.where(F.col("n") > max_block_size).select(
+        "block_key", F.ceil(F.col("n") / max_block_size).cast("int").alias("n_sub")
+    )
+    out = keys.join(F.broadcast(big), "block_key", "left")
+    return out.withColumn(
+        "block_key",
+        F.when(
+            F.col("n_sub").isNotNull(),
+            F.concat_ws("#", "block_key", F.pmod(F.xxhash64("id"), F.col("n_sub")).cast("string")),
+        ).otherwise(F.col("block_key")),
+    ).drop("n_sub")
+
+
+def candidate_pairs_self(keys: DataFrame) -> DataFrame:
+    """Self-linkage candidates: within-block pairs, canonical order
+    id_l < id_r, deduped across blocks/passes (J3+J4 in SURVEY §2.4)."""
+    left = keys.select(F.col("id").alias("id_l"), "block_key")
+    right = keys.select(F.col("id").alias("id_r"), "block_key")
+    pairs = left.join(right, "block_key").where(F.col("id_l") < F.col("id_r"))
+    return pairs.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"])
+
+
+def candidate_pairs_cross(keys_l: DataFrame, keys_r: DataFrame) -> DataFrame:
+    """Two-source candidates (reference main case: Craigslist × US)."""
+    left = keys_l.select(F.col("id").alias("id_l"), "block_key")
+    right = keys_r.select(F.col("id").alias("id_r"), "block_key")
+    return (
+        left.join(right, "block_key")
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+
+
+def union_pairs(*pair_dfs: DataFrame) -> DataFrame:
+    """J4: union of blocking passes, set semantics."""
+    out = pair_dfs[0]
+    for p in pair_dfs[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id_l", "id_r"])
+
+
+# --- statistics (A2-A4 in SURVEY §2.5) --------------------------------------
+
+
+def block_size_stats(keys: DataFrame) -> DataFrame:
+    """Per-strategy block stats: count/mean/median/min/max + histogram
+    buckets (blocking_B1.py:92-127)."""
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("size"))
+    return sizes.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("size").alias("records_in_blocks"),
+        F.avg("size").alias("mean_size"),
+        F.expr("percentile_approx(size, 0.5)").alias("median_size"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.sum((F.col("size") == 1).cast("long")).alias("blocks_1"),
+        F.sum(F.col("size").between(2, 5).cast("long")).alias("blocks_2_5"),
+        F.sum(F.col("size").between(6, 10).cast("long")).alias("blocks_6_10"),
+        F.sum(F.col("size").between(11, 50).cast("long")).alias("blocks_11_50"),
+        F.sum((F.col("size") > 50).cast("long")).alias("blocks_50_plus"),
+        F.sum(F.expr("size * (size - 1) / 2")).cast("long").alias("candidate_pairs"),
+    )
+
+
+def reduction_ratio(keys: DataFrame, total_records: int) -> float:
+    """A3: 1 - within-block pairs / all pairs (blocking_B1.py:119-127)."""
+    row = (
+        keys.groupBy("block_key")
+        .agg(F.count("*").alias("s"))
+        .agg(F.sum(F.expr("s * (s - 1) / 2")).alias("cand"))
+        .collect()[0]
+    )
+    cand = float(row["cand"] or 0.0)
+    total = total_records * (total_records - 1) / 2
+    return 1.0 - cand / total if total > 0 else 0.0
+
+
+def pairs_completeness(pairs: DataFrame, truth: DataFrame) -> float:
+    """A4: fraction of true pairs surviving blocking
+    (record_linkage.py:242-246). `truth` has (id_l, id_r) canonical."""
+    total = truth.count()
+    if total == 0:
+        return 0.0
+    surviving = truth.join(pairs, ["id_l", "id_r"], "leftsemi").count()
+    return surviving / total

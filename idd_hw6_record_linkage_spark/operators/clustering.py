@@ -1,0 +1,107 @@
+"""Transitive clustering: connected components over match edges.
+
+The reference emits raw matched pairs and stops (two-source linkage,
+record_linkage.py:528-536); the north rule requires explicit entity
+clusters, i.e. connected components. Implemented as the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) expressed purely as
+DataFrame joins + groupBy-min — O(log n) rounds. Crucially there is no
+``collect_set`` of neighborhoods: a mega-hub node (web-scale skew)
+never materializes its adjacency list in one task; the per-node min is
+a partial-aggregatable ``min()`` and the emit step is a join, which
+AQE can skew-split. ``localCheckpoint`` per iteration cuts lineage
+(SURVEY §4 'iterative convergence').
+
+Node ids are strings (urls); the deterministic cluster representative
+is the lexicographic min id, so results are reproducible across
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u, connect each strictly-larger neighbor v to
+    m(u) = min(N(u) ∪ {u})."""
+    nbrs = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward smaller ids; connect every smaller neighbor
+    (and u itself) to m(u) = min(N(u))."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    via_nbrs = (
+        oriented.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    via_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    return via_nbrs.unionByName(via_self).dropDuplicates(["u", "v"])
+
+
+def _edge_signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(id_l, id_r) → assignments(id, component) where component
+    is the min id of the connected component. Covers nodes appearing
+    in edges; union in singletons at the call site."""
+    cur = (
+        edges.select(F.col("id_l").alias("u"), F.col("id_r").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _edge_signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Converged: stars (member u → component-min v).
+    members = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    return (
+        members.unionByName(roots)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def clusters_from_edges(
+    edges: DataFrame, all_ids: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Full cluster assignment including singletons:
+    (url, entity_id) with entity_id = min url of the component."""
+    comp = connected_components(edges)
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias("url"),
+            F.coalesce("component", "id").alias("entity_id"),
+        )
+    )

@@ -1,0 +1,231 @@
+"""End-to-end linkage pipeline over the pages table.
+
+Stage DAG (one declarative DataFrame plan per stage; parquet stage
+boundaries double as resumable checkpoints, SURVEY §3.1):
+
+    read pages → normalize → {block_b1, block_b2, block_lsh}
+      → pairs (salted equi-join ∪ passes, dedup)
+      → score (feature matrix + weighted scorer)
+      → edges (threshold w/ 0.5→0.3 fallback)
+      → cluster (large-star/small-star CC)
+      → eval (P/R/F1 vs labeled pairs / expected clusters)
+
+The reference runs the same lifecycle eagerly in pandas
+(record_linkage.py:588-693); every stage here is relational and
+shuffle-partitioned, with explicit skew controls on blocking keys.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idd_hw6_record_linkage_spark.functions.cleaning import clean_text_expr
+from idd_hw6_record_linkage_spark.functions.normalize import (
+    title_tokens_expr,
+    url_domain_expr,
+)
+from idd_hw6_record_linkage_spark.operators import blocking
+from idd_hw6_record_linkage_spark.operators.clustering import clusters_from_edges
+from idd_hw6_record_linkage_spark.operators.minhash import lsh_key_table
+from idd_hw6_record_linkage_spark.operators import scoring
+from idd_hw6_record_linkage_spark.operators.evaluation import (
+    PRF1,
+    pairwise_cluster_f1,
+    precision_recall_f1,
+)
+from idd_hw6_record_linkage_spark.plans import metrics as M
+
+
+@dataclass
+class PipelineConfig:
+    workdir: str
+    run_id: str = "run0"
+    comparator_config: scoring.ComparatorConfig = field(
+        default_factory=lambda: scoring.WEB_P1
+    )
+    use_b1: bool = True  # domain key (brand analogue)
+    use_b2: bool = True  # domain + title-prefix key (brand+model analogue)
+    use_lsh: bool = True
+    lsh_bands: int = 8
+    lsh_rows: int = 4
+    max_block_size: int = 200
+    score_threshold: float = 0.5
+    fallback_threshold: float = 0.3
+    resume: bool = False
+
+
+class LinkagePipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        os.makedirs(cfg.workdir, exist_ok=True)
+
+    # --- stage plumbing ------------------------------------------------
+
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self.cfg.workdir, stage)
+
+    def _run_stage(self, stage: str, build, rows_in: int | None = None,
+                   pair_count: int | None = None, match_count: int | None = None,
+                   ) -> DataFrame:
+        """Materialize a stage to parquet unless already completed for
+        this run_id (resume)."""
+        path = self._stage_path(stage)
+        if self.cfg.resume and M.stage_completed(
+            self.spark, self.cfg.workdir, self.cfg.run_id, stage
+        ):
+            return self.spark.read.parquet(path)
+        df = build()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        M.append_stage_metrics(
+            self.spark, self.cfg.workdir, self.cfg.run_id, stage, out,
+            rows_in=rows_in, pair_count=pair_count, match_count=match_count,
+        )
+        return out
+
+    # --- stages ---------------------------------------------------------
+
+    def normalize(self, pages: DataFrame) -> DataFrame:
+        """Mediated web-record schema (SURVEY §1.3 role mapping):
+        domain←brand, sorted-title←model, clean text←description."""
+        def build():
+            title = F.regexp_extract(
+                F.col("html").cast("string"), r"<title>(.*?)</title>", 1
+            )
+            toks = title_tokens_expr(title)
+            # Empty title/text are *missing* for comparators (reference
+            # declares every field has_missing=True, 2_train_dedupe_
+            # models.py:56-88; missing → similarity 0). text_clean stays
+            # byte-exact ('' included) — the per-url invariant column.
+            return (
+                pages.select(
+                    "url",
+                    "warc_ts",
+                    "lang",
+                    url_domain_expr("url").alias("domain"),
+                    F.nullif(F.concat_ws(" ", toks), F.lit("")).alias("title_norm"),
+                    clean_text_expr("text").alias("text_clean"),
+                )
+                .withColumn("n_chars", F.length("text_clean"))
+                .withColumn("text_cmp", F.nullif(F.col("text_clean"), F.lit("")))
+            )
+
+        return self._run_stage("normalize", build)
+
+    def block_keys(self, records: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        passes: list[DataFrame] = []
+        if cfg.use_b1:
+            # B1 analogue: coarse key = normalized domain (brand role).
+            passes.append(
+                blocking.key_table(records, "url", F.col("domain"), "b1")
+            )
+        if cfg.use_b2:
+            # B2 analogue: domain + 2-char prefix of the token-sorted
+            # title (brand + model-prefix role, blocking_B2.py:70-87).
+            key = F.when(
+                F.col("domain").isNotNull() & (F.length("title_norm") >= 2),
+                F.concat_ws(
+                    "_",
+                    F.col("domain"),
+                    F.substring(F.regexp_replace("title_norm", r"[^a-z0-9]", ""), 1, 2),
+                ),
+            )
+            passes.append(blocking.key_table(records, "url", key, "b2"))
+        if cfg.use_lsh:
+            passes.append(
+                lsh_key_table(
+                    records, "url", "text_clean",
+                    num_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows,
+                )
+            )
+        keys = passes[0]
+        for p in passes[1:]:
+            keys = keys.unionByName(p)
+        return keys
+
+    def pairs(self, records: DataFrame) -> DataFrame:
+        def build():
+            keys = self.block_keys(records)
+            # skew control: deterministic sub-blocking of oversized keys
+            keys = blocking.cap_blocks(keys, self.cfg.max_block_size)
+            return blocking.candidate_pairs_self(keys)
+
+        return self._run_stage("pairs", build)
+
+    def score(self, records: DataFrame, pairs: DataFrame) -> DataFrame:
+        def build():
+            feats = scoring.compute_features(
+                pairs, records, self.cfg.comparator_config, id_col="url"
+            )
+            return scoring.score(feats, self.cfg.comparator_config)
+
+        return self._run_stage("score", build)
+
+    def edges(self, scored: DataFrame) -> DataFrame:
+        def build():
+            edges, _used = scoring.threshold_with_fallback(
+                scored, self.cfg.score_threshold, self.cfg.fallback_threshold
+            )
+            return edges.select("id_l", "id_r", "score")
+
+        n_pairs = scored.count()
+        out = self._run_stage("edges", build, pair_count=n_pairs)
+        return out
+
+    def cluster(self, records: DataFrame, edges: DataFrame) -> DataFrame:
+        def build():
+            return clusters_from_edges(edges, records.select("url"), id_col="url")
+
+        return self._run_stage("cluster", build)
+
+    # --- end-to-end ------------------------------------------------------
+
+    def run(
+        self,
+        pages: DataFrame,
+        labeled_pairs: DataFrame | None = None,
+        expected_clusters: DataFrame | None = None,
+    ) -> dict:
+        records = self.normalize(pages)
+        pairs = self.pairs(records)
+        scored = self.score(records, pairs)
+        edges = self.edges(scored)
+        clusters = self.cluster(records, edges)
+
+        result: dict = {
+            "records": records,
+            "pairs": pairs,
+            "scored": scored,
+            "edges": edges,
+            "clusters": clusters,
+        }
+        if labeled_pairs is not None:
+            truth_pos = labeled_pairs.where(F.col("label") == 1).select(
+                F.col("url_l").alias("id_l"), F.col("url_r").alias("id_r")
+            )
+            result["edge_prf1"] = precision_recall_f1(
+                edges.select("id_l", "id_r"), truth_pos
+            )
+            result["pairs_completeness"] = blocking.pairs_completeness(
+                pairs, truth_pos
+            )
+        if expected_clusters is not None:
+            result["cluster_prf1"] = pairwise_cluster_f1(clusters, expected_clusters)
+        return result
+
+
+def dedupe_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    **cfg_kwargs,
+) -> dict:
+    """One-call flagship API: pages table in → clusters + metrics out."""
+    cfg = PipelineConfig(workdir=workdir, **cfg_kwargs)
+    return LinkagePipeline(spark, cfg).run(pages)

@@ -1,0 +1,88 @@
+"""Golden-pair end-to-end test (SURVEY §5): synthetic pages with
+planted clusters → full pipeline → pairwise cluster F1 ≥ 0.99, plus
+blocking PC/RR sanity, resumability, and generator determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from idd_hw6_record_linkage_spark.operators import blocking
+from idd_hw6_record_linkage_spark.plans.pipeline import LinkagePipeline, PipelineConfig
+from idd_hw6_record_linkage_spark.plans import metrics as M
+from idd_hw6_record_linkage_spark.sources import generator as G
+
+N_ENTITIES = 300
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    df = G.generate_raw(spark, N_ENTITIES, partitions=8).cache()
+    df.count()
+    return df
+
+
+def test_generator_deterministic_across_partitioning(spark):
+    a = G.generate_raw(spark, 50, partitions=2)
+    b = G.generate_raw(spark, 50, partitions=7)
+    ah = a.agg(F.expr("bit_xor(xxhash64(url, text, lang))")).collect()[0][0]
+    bh = b.agg(F.expr("bit_xor(xxhash64(url, text, lang))")).collect()[0][0]
+    assert a.count() == b.count()
+    assert ah == bh
+
+
+def test_pipeline_f1(tmp_path, spark, raw):
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    truth = G.labeled_pairs(raw).cache()
+    expected = G.expected_clusters(raw)
+
+    cfg = PipelineConfig(workdir=str(tmp_path / "run"), run_id="t1")
+    pipe = LinkagePipeline(spark, cfg)
+    res = pipe.run(pages, labeled_pairs=truth, expected_clusters=expected)
+
+    # blocking must retain essentially all true pairs
+    assert res["pairs_completeness"] >= 0.99, res["pairs_completeness"]
+    # headline: pairwise cluster F1 vs planted clusters
+    prf = res["cluster_prf1"]
+    assert prf.f1 >= 0.99, (prf.precision, prf.recall, prf.f1)
+    # edge-level F1 vs labeled pairs (positives only)
+    eprf = res["edge_prf1"]
+    assert eprf.recall >= 0.99 and eprf.precision >= 0.95, eprf
+
+    # metrics table has completion rows for every materialized stage
+    m = M.read_metrics(spark, cfg.workdir)
+    stages = {
+        r["stage"] for r in m.where(F.col("partition_id") == -1).collect()
+    }
+    assert {"normalize", "pairs", "score", "edges", "cluster"} <= stages
+
+
+def test_blocking_stats_and_rr(spark, raw):
+    records = raw.select(
+        "url", F.col("domain").alias("domain")
+    )
+    keys = blocking.key_table(records, "url", F.col("domain"), "b1")
+    stats = blocking.block_size_stats(keys).collect()[0]
+    assert stats["n_blocks"] > 0
+    assert stats["records_in_blocks"] == records.count()
+    rr = blocking.reduction_ratio(keys, records.count())
+    assert 0.0 < rr < 1.0
+
+
+def test_resume_skips_completed_stages(tmp_path, spark, raw):
+    pages = raw.select("url", "warc_ts", "html", "text", "lang").limit(200)
+    cfg = PipelineConfig(workdir=str(tmp_path / "resume"), run_id="r1",
+                         use_lsh=False)
+    pipe = LinkagePipeline(spark, cfg)
+    pipe.run(pages)
+    m1 = M.read_metrics(spark, cfg.workdir)
+    n_rows_1 = m1.count()
+
+    cfg2 = PipelineConfig(workdir=str(tmp_path / "resume"), run_id="r1",
+                          use_lsh=False, resume=True)
+    pipe2 = LinkagePipeline(spark, cfg2)
+    res2 = pipe2.run(pages)
+    m2 = M.read_metrics(spark, cfg2.workdir)
+    # resumed run adds no new metric rows (all stages skipped)
+    assert m2.count() == n_rows_1
+    assert res2["clusters"].count() == 200
