@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedupe/linkage plan end-to-end over
+a pages table synthesized from the sf0.001 documents parquet;
+``queries()``/``oracle_sql()`` expose one DuckDB-checkable slice per
+implemented operator family (see SURVEY.md §2 and
+idd_hw6_record_linkage_spark/entry_queries.py for the mapping).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver documents table to the input_hint pages shape
+    (url, warc_ts, html, text, lang) — deterministic, no external data."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    title = F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5))
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.concat(
+            F.lit("<html><title>"), title, F.lit("</title><body>"),
+            F.col("text"), F.lit("</body></html>"),
+        ).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: normalize → 3-pass blocking → score → threshold →
+    connected components; returns the clusters DataFrame."""
+    # Make the package importable in forked Python workers when the
+    # driver did not set PYTHONPATH (pandas-UDF closures).
+    os.environ.setdefault("PYTHONPATH", _REPO)
+    from idd_hw6_record_linkage_spark.plans.pipeline import run_in_memory
+
+    pages = _pages_from_documents(spark, SF0001)
+    return run_in_memory(spark, pages)["clusters"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from idd_hw6_record_linkage_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from idd_hw6_record_linkage_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,172 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "scaling": {"local8": {...}, "local32": {...}, "efficiency": e},
+   "pairs_scored_per_sec": <throughput at high parallelism>}
+
+Sections:
+1. headline operator queries over $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+2. the flagship linkage pipeline (normalize → 3-pass blocking → score
+   → threshold → CC) over a deterministic synthetic pages table;
+3. two-parallelism scaling evidence (north rule): the same scoring job
+   at local[LO] and local[HI] in fresh subprocesses; efficiency =
+   throughput(HI) / ((HI/LO) * throughput(LO)).
+
+The scaling stand-in for N vs 4N executors runs in subprocesses so
+each level gets a fresh JVM (same input, seed-pinned generator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scaling levels: N vs 4N cores. 4→16 rather than 8→32 because the
+# sandbox has exactly 32 logical cores — local[32] saturates the box
+# (JVM, GC, shuffle and Python workers all compete), which measures
+# host contention, not job scalability. 16 threads leave headroom, so
+# the ratio reflects the job's actual strong-scaling behavior.
+N_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "10000"))
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
+
+HEADLINE_QUERIES = [
+    "rl_candidate_pairs",
+    "rl_pair_features",
+    "rl_match_edges",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_lang_id",
+    "ann_topk_brute",
+    "tpch_agg_pricing",
+    "join_topk_customers",
+]
+
+_SCALING_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
+from idd_hw6_record_linkage_spark.session import get_spark
+from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+from idd_hw6_record_linkage_spark.plans.pipeline import (
+    PipelineConfig, normalize_plan, block_keys_plan)
+from idd_hw6_record_linkage_spark.operators import blocking, scoring
+
+spark = get_spark(master="local[{cpus}]")
+spark.sparkContext.setLogLevel("ERROR")
+cfg = PipelineConfig(workdir="/tmp/_bench_unused")
+
+raw = generate_raw(spark, {n_entities}, partitions=64)
+pages = raw.select("url", "warc_ts", "html", "text", "lang")
+
+t0 = time.time()
+records = normalize_plan(pages).persist()
+n_records = records.count()
+t_norm = time.time() - t0
+
+t0 = time.time()
+raw_keys = block_keys_plan(records, cfg).persist()
+keys = blocking.cap_blocks(raw_keys, cfg.max_block_size).persist()
+pairs = blocking.candidate_pairs_self(keys).persist()
+n_pairs = pairs.count()
+t_block = time.time() - t0
+
+t0 = time.time()
+feats = scoring.compute_features(pairs, records, cfg.comparator_config, "url")
+scored = scoring.score(feats, cfg.comparator_config)
+n_edges = scored.where(scored.score >= cfg.score_threshold).count()
+t_score = time.time() - t0
+
+print(json.dumps({{
+    "cpus": {cpus}, "n_records": n_records, "n_pairs": n_pairs,
+    "n_edges": n_edges, "normalize_sec": round(t_norm, 3),
+    "blocking_sec": round(t_block, 3), "scoring_sec": round(t_score, 3),
+    "pairs_scored_per_sec": round(n_pairs / t_score, 1),
+}}))
+spark.stop()
+"""
+
+
+def run_scaling_level(cpus: int) -> dict:
+    code = _SCALING_SNIPPET.format(repo=REPO, cpus=cpus, n_entities=N_ENTITIES)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"scaling run local[{cpus}] failed:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from idd_hw6_record_linkage_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark(master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # flagship pipeline wall time over the synthetic pages table
+    from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+    from idd_hw6_record_linkage_spark.plans.pipeline import run_in_memory
+
+    t0 = time.time()
+    raw = generate_raw(spark, max(2000, N_ENTITIES // 10), partitions=32)
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    res = run_in_memory(spark, pages)
+    res["clusters"].write.format("noop").mode("overwrite").save()
+    timings["flagship_pipeline"] = round(time.time() - t0, 3)
+    total += timings["flagship_pipeline"]
+    spark.stop()
+
+    lo = run_scaling_level(SCALE_LO)
+    hi = run_scaling_level(SCALE_HI)
+    ratio = SCALE_HI / SCALE_LO
+    efficiency = hi["pairs_scored_per_sec"] / (ratio * lo["pairs_scored_per_sec"])
+
+    print(
+        json.dumps(
+            {
+                "metric": "linkage_bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "scaling": {
+                    f"local{SCALE_LO}": lo,
+                    f"local{SCALE_HI}": hi,
+                    "efficiency": round(efficiency, 4),
+                },
+                "pairs_scored_per_sec": hi["pairs_scored_per_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

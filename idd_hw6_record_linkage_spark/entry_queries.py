@@ -1,0 +1,731 @@
+"""Driver-contract queries: SURVEY §2 operator slices phrased over the
+driver-provided parquet tables, each with a DuckDB oracle.
+
+Every query is a pure function (spark, sf_dir) -> DataFrame; ORACLES
+holds the equivalent ANSI SQL for DuckDB over the same tables. Column
+names/aliases and numeric types are kept identical on both sides
+(doubles rounded to 6 via round(x,6), counts cast to BIGINT) so the
+driver's order-insensitive value hash matches.
+
+Operator coverage mapping (SURVEY §2):
+- blocking key gen (F4/F6/F7):       rl_block_keys
+- block join / candidates (J3):      rl_candidate_pairs
+- block-size stats + histogram (A2): rl_block_stats, rl_block_histogram
+- reduction ratio (A3):              rl_reduction_ratio
+- top-k blocks (A7/O1):              rl_top_blocks
+- pair feature matrix (C3/C5/C6):    rl_pair_features
+- threshold match (M3):              rl_match_edges
+- P/R/F1 semi/anti joins (A5):       rl_eval_metrics
+- column profile (A1):               profile_documents
+- dedup family:                      dedup_exact, dedup_ngram_jaccard,
+                                     dedup_embedding_cosine
+- text analysis:                     text_token_count, text_quality,
+                                     text_lang_id, text_fingerprint
+- ANN:                               ann_topk_brute
+- joins/aggs at TPC-H shape (J1/A6): tpch_agg_pricing, join_topk_customers,
+                                     semi_anti_customers
+Non-SQL-expressible (rows-only check): rl_clusters (iterative CC),
+dedup_minhash_lsh, dedup_simhash, ann_topk_lsh.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idd_hw6_record_linkage_spark.functions.normalize import normalize_string_expr
+from idd_hw6_record_linkage_spark.functions import text_analysis as TA
+from idd_hw6_record_linkage_spark.functions.similarity import sim_cosine_arrays
+from idd_hw6_record_linkage_spark.operators import blocking, dedup, ann
+from idd_hw6_record_linkage_spark.operators.clustering import clusters_from_edges
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _block_key() -> F.Column:
+    """source normalized per blocking_B2 normalize_string + '_' + lang."""
+    return F.concat_ws("_", normalize_string_expr("source"), F.col("lang"))
+
+
+_BLOCK_KEY_SQL = (
+    "concat(nullif(regexp_replace(lower(trim(source)), '[^a-z0-9]', '', 'g'), ''),"
+    " '_', lang)"
+)
+
+
+# --- blocking family ---------------------------------------------------------
+
+
+def rl_block_keys(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", _block_key().alias("block_key")
+    )
+
+
+SQL_RL_BLOCK_KEYS = f"SELECT doc_id, {_BLOCK_KEY_SQL} AS block_key FROM documents"
+
+
+def rl_block_stats(spark, sf_dir):
+    return (
+        rl_block_keys(spark, sf_dir)
+        .groupBy("block_key")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_RL_BLOCK_STATS = (
+    f"SELECT {_BLOCK_KEY_SQL} AS block_key, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY 1"
+)
+
+
+def rl_block_histogram(spark, sf_dir):
+    sizes = rl_block_stats(spark, sf_dir)
+    bucket = (
+        F.when(F.col("n_docs") == 1, "1")
+        .when(F.col("n_docs").between(2, 5), "2-5")
+        .when(F.col("n_docs").between(6, 10), "6-10")
+        .when(F.col("n_docs").between(11, 50), "11-50")
+        .otherwise("50+")
+    )
+    return (
+        sizes.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_blocks"))
+    )
+
+
+SQL_RL_BLOCK_HISTOGRAM = f"""
+WITH sizes AS (
+  SELECT {_BLOCK_KEY_SQL} AS block_key, count(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT CASE WHEN n_docs = 1 THEN '1'
+            WHEN n_docs BETWEEN 2 AND 5 THEN '2-5'
+            WHEN n_docs BETWEEN 6 AND 10 THEN '6-10'
+            WHEN n_docs BETWEEN 11 AND 50 THEN '11-50'
+            ELSE '50+' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_blocks
+FROM sizes GROUP BY 1
+"""
+
+
+def rl_reduction_ratio(spark, sf_dir):
+    sizes = rl_block_stats(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.expr("n_docs * (n_docs - 1) / 2")).cast("long").alias("candidate_pairs"),
+        F.lit(n * (n - 1) // 2).cast("long").alias("total_pairs"),
+        F.round(
+            1.0 - F.sum(F.expr("n_docs * (n_docs - 1) / 2")) / (n * (n - 1) / 2.0), 6
+        ).alias("reduction_ratio"),
+    )
+
+
+SQL_RL_REDUCTION_RATIO = f"""
+WITH sizes AS (
+  SELECT {_BLOCK_KEY_SQL} AS block_key, count(*) AS n_docs
+  FROM documents GROUP BY 1
+), tot AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(n_docs * (n_docs - 1) / 2) AS BIGINT) AS candidate_pairs,
+       CAST((SELECT n * (n - 1) // 2 FROM tot) AS BIGINT) AS total_pairs,
+       CAST(round(1.0 - sum(n_docs * (n_docs - 1) / 2)
+                  / ((SELECT n FROM tot) * ((SELECT n FROM tot) - 1) / 2.0), 6)
+            AS DOUBLE) AS reduction_ratio
+FROM sizes
+"""
+
+
+def rl_top_blocks(spark, sf_dir):
+    return (
+        rl_block_stats(spark, sf_dir)
+        .orderBy(F.desc("n_docs"), F.asc("block_key"))
+        .limit(10)
+    )
+
+
+SQL_RL_TOP_BLOCKS = (
+    f"SELECT {_BLOCK_KEY_SQL} AS block_key, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY 1 ORDER BY n_docs DESC, block_key ASC LIMIT 10"
+)
+
+
+def rl_candidate_pairs(spark, sf_dir):
+    keys = blocking.key_table(_docs(spark, sf_dir), "doc_id", _block_key(), "b1")
+    left = keys.select(F.col("id").alias("id_l"), "block_key")
+    right = keys.select(F.col("id").alias("id_r"), "block_key")
+    return (
+        left.join(right, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", "block_key")
+    )
+
+
+SQL_RL_CANDIDATE_PAIRS = f"""
+WITH k AS (
+  SELECT doc_id, {_BLOCK_KEY_SQL} AS block_key FROM documents
+  WHERE {_BLOCK_KEY_SQL} IS NOT NULL
+)
+SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.block_key AS block_key
+FROM k a JOIN k b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+"""
+
+_PAIR_FEATURES_SPARK_DOC = """
+Feature semantics shared with the oracle:
+  lev_sim    = 1 - levenshtein(substr(text,1,40))/greatest(len)  (C3)
+  jaccard_sim over distinct whitespace tokens                    (C6)
+  nchars_sim = 2^(-((n_chars_l-n_chars_r)/100)^2)                (C5 gauss)
+  score      = mean of the three                                 (M-scorer)
+"""
+
+
+def rl_pair_features(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("t40"),
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+        F.col("n_chars").cast("double").alias("nc"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("t40").alias("t40_l"),
+        F.col("toks").alias("toks_l"), F.col("nc").alias("nc_l"), "block_key",
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("t40").alias("t40_r"),
+        F.col("toks").alias("toks_r"), F.col("nc").alias("nc_r"), "block_key",
+    )
+    pairs = l.join(r, "block_key").where(F.col("id_l") < F.col("id_r"))
+    lev = F.when(
+        F.greatest(F.length("t40_l"), F.length("t40_r")) == 0, F.lit(1.0)
+    ).otherwise(
+        1.0
+        - F.levenshtein("t40_l", "t40_r")
+        / F.greatest(F.length("t40_l"), F.length("t40_r")).cast("double")
+    )
+    jac = F.size(F.array_intersect("toks_l", "toks_r")) / F.size(
+        F.array_union("toks_l", "toks_r")
+    ).cast("double")
+    gauss = F.pow(F.lit(2.0), -F.pow((F.col("nc_l") - F.col("nc_r")) / 100.0, 2))
+    out = pairs.select(
+        "id_l",
+        "id_r",
+        F.round(lev, 6).alias("lev_sim"),
+        F.round(jac, 6).alias("jaccard_sim"),
+        F.round(gauss, 6).alias("nchars_sim"),
+        F.round((lev + jac + gauss) / 3.0, 6).alias("score"),
+    )
+    return out
+
+
+SQL_RL_PAIR_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 40) AS t40,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         CAST(n_chars AS DOUBLE) AS nc,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         a.t40 AS t40_l, b.t40 AS t40_r,
+         a.toks AS toks_l, b.toks AS toks_r,
+         a.nc AS nc_l, b.nc AS nc_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT id_l, id_r,
+  CAST(round(CASE WHEN greatest(length(t40_l), length(t40_r)) = 0 THEN 1.0
+       ELSE 1.0 - levenshtein(t40_l, t40_r)
+                  / CAST(greatest(length(t40_l), length(t40_r)) AS DOUBLE)
+       END, 6) AS DOUBLE) AS lev_sim,
+  CAST(round(len(list_intersect(toks_l, toks_r))
+       / CAST(len(list_distinct(toks_l || toks_r)) AS DOUBLE), 6) AS DOUBLE)
+       AS jaccard_sim,
+  CAST(round(pow(2.0, -pow((nc_l - nc_r) / 100.0, 2)), 6) AS DOUBLE) AS nchars_sim,
+  CAST(round((
+      (CASE WHEN greatest(length(t40_l), length(t40_r)) = 0 THEN 1.0
+       ELSE 1.0 - levenshtein(t40_l, t40_r)
+                  / CAST(greatest(length(t40_l), length(t40_r)) AS DOUBLE) END)
+      + len(list_intersect(toks_l, toks_r))
+        / CAST(len(list_distinct(toks_l || toks_r)) AS DOUBLE)
+      + pow(2.0, -pow((nc_l - nc_r) / 100.0, 2))
+    ) / 3.0, 6) AS DOUBLE) AS score
+FROM p
+"""
+
+
+def rl_match_edges(spark, sf_dir):
+    return rl_pair_features(spark, sf_dir).where(F.col("score") >= 0.5).select(
+        "id_l", "id_r", "score"
+    )
+
+
+SQL_RL_MATCH_EDGES = (
+    f"SELECT id_l, id_r, score FROM ({SQL_RL_PAIR_FEATURES}) WHERE score >= 0.5"
+)
+
+
+def rl_eval_metrics(spark, sf_dir):
+    """A5: P/R/F1 of the match edges against a deterministic 'truth'
+    (same source, |n_chars diff| <= 10) via semi/anti joins."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    l = docs.withColumnsRenamed(  # noqa: E741
+        {"doc_id": "id_l", "source": "s_l", "n_chars": "n_l"}
+    )
+    r = docs.withColumnsRenamed({"doc_id": "id_r", "source": "s_r", "n_chars": "n_r"})
+    truth = (
+        l.join(r, (F.col("s_l") == F.col("s_r")) & (F.col("id_l") < F.col("id_r")))
+        .where(F.abs(F.col("n_l") - F.col("n_r")) <= 10)
+        .select("id_l", "id_r")
+    )
+    preds = rl_match_edges(spark, sf_dir).select("id_l", "id_r")
+    tp = preds.join(truth, ["id_l", "id_r"], "leftsemi").count()
+    fp = preds.join(truth, ["id_l", "id_r"], "leftanti").count()
+    fn = truth.join(preds, ["id_l", "id_r"], "leftanti").count()
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(precision, 6), round(recall, 6), round(f1, 6))],
+        "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    )
+
+
+SQL_RL_EVAL_METRICS = f"""
+WITH preds AS (
+  SELECT id_l, id_r FROM ({SQL_RL_MATCH_EDGES})
+), truth AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE abs(a.n_chars - b.n_chars) <= 10
+), counts AS (
+  SELECT
+    (SELECT count(*) FROM preds p WHERE EXISTS
+       (SELECT 1 FROM truth t WHERE t.id_l = p.id_l AND t.id_r = p.id_r)) AS tp,
+    (SELECT count(*) FROM preds p WHERE NOT EXISTS
+       (SELECT 1 FROM truth t WHERE t.id_l = p.id_l AND t.id_r = p.id_r)) AS fp,
+    (SELECT count(*) FROM truth t WHERE NOT EXISTS
+       (SELECT 1 FROM preds p WHERE p.id_l = t.id_l AND p.id_r = t.id_r)) AS fn
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+  CAST(round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS DOUBLE) AS precision,
+  CAST(round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS DOUBLE) AS recall,
+  CAST(round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+                     + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END) > 0
+       THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+              * (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END)
+            / ((CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+             + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END))
+       ELSE 0.0 END, 6) AS DOUBLE) AS f1
+FROM counts
+"""
+
+
+def rl_clusters(spark, sf_dir):
+    """Iterative CC over the match edges — not SQL-expressible; the
+    driver records a rows-only check (weaker, by design)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+    edges = rl_match_edges(spark, sf_dir).select(
+        F.col("id_l").cast("string").alias("id_l"),
+        F.col("id_r").cast("string").alias("id_r"),
+    )
+    return clusters_from_edges(edges, docs, id_col="doc_id")
+
+
+# --- profiling ---------------------------------------------------------------
+
+
+def profile_documents(spark, sf_dir):
+    from idd_hw6_record_linkage_spark.operators.profile import column_profile
+
+    return column_profile(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    ).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        "null_pct",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "distinct_pct",
+    )
+
+
+def _profile_sql_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+  CAST(round((count(*) - count({col})) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS null_pct,
+  CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  CAST(round(count(DISTINCT {col}) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS distinct_pct
+FROM documents"""
+
+
+SQL_PROFILE_DOCUMENTS = " UNION ALL ".join(
+    _profile_sql_one(c) for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+
+# --- dedup family ------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text").select(
+        "text_hash",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", _block_key(), threshold=0.05, n=3
+    )
+    return out.select(
+        "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, {_BLOCK_KEY_SQL} AS block_key,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, block_key,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 2 + 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM d WHERE block_key IS NOT NULL
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         len(list_intersect(a.sh, b.sh))
+           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+  FROM s a JOIN s b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT id_l, id_r, CAST(round(jac, 6) AS DOUBLE) AS jaccard
+FROM p WHERE jac >= 0.05
+"""
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = dedup.embedding_dup_pairs_brute(emb, "vec_id", "embedding", threshold=0.3)
+    return out.select("id_l", "id_r", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+         list_cosine_similarity(a.v, b.v) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_l, id_r, CAST(round(c, 6) AS DOUBLE) AS cosine
+FROM p WHERE c >= 0.3
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs — hash functions differ from any SQL
+    engine; rows-only driver check, recall tested in pytest."""
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.3
+    ).select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash hamming-≤3 near-dup pairs — rows-only driver check."""
+    return dedup.simhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def text_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TA.token_count_expr("text").cast("long").alias("n_tokens")
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def text_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(TA.punct_ratio_expr("text"), 6).alias("punct_ratio"),
+        F.round(TA.quality_score_expr("text"), 6).alias("quality_score"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS ntok,
+    (length(text) - length(translate(text, '.,!?-', ''))) AS npunct
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    CASE WHEN n > 0 THEN npunct / n ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+         WHEN n > 0 THEN 0.5 ELSE 0.0 END AS len_ok,
+    CASE WHEN (CASE WHEN n > 0 THEN npunct / n ELSE 0.0 END) <= 0.1
+         THEN 1.0 ELSE 0.5 END AS punct_ok,
+    CASE WHEN ntok > 0 AND (n - (ntok - 1)) / ntok >= 3.0
+              AND (n - (ntok - 1)) / ntok <= 12.0
+         THEN 1.0 ELSE 0.5 END AS wl_ok
+  FROM t
+)
+SELECT doc_id, CAST(round(punct_ratio, 6) AS DOUBLE) AS punct_ratio,
+  CAST(round((len_ok + punct_ok + wl_ok) / 3.0, 6) AS DOUBLE) AS quality_score
+FROM q
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TA.lang_id_expr("text").alias("lang_guess")
+    )
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: (
+            "len(list_intersect(list_distinct(list_transform("
+            "regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))), "
+            f"{list(words)}))"
+        )
+        for lang, words in TA.STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {hits[lang]} >= 1 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in TA.STOPWORDS
+    )
+    return (
+        f"SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_guess FROM documents"
+    )
+
+
+SQL_TEXT_LANG_ID = _lang_sql()
+
+
+def text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TA.fingerprint_expr("text").alias("fingerprint")
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+  md5(array_to_string(list_transform(
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE regexp_split_to_array(trim(text), '\\s+') END,
+    x -> lower(x)), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# --- ANN ---------------------------------------------------------------------
+
+
+def ann_topk_brute(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ANN_TOPK_BRUTE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS c
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(round(c, 6) AS DOUBLE) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_topk_lsh(spark, sf_dir):
+    """Hyperplane-bucketed ANN — rows-only driver check; recall vs the
+    brute-force baseline asserted in pytest."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.lsh_topk(emb, queries, k=5)
+
+
+# --- TPC-H-shape relational evidence ------------------------------------------
+
+
+def tpch_agg_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def join_topk_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_JOIN_TOPK_CUSTOMERS = """
+SELECT c_custkey, c_name,
+  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def semi_anti_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "leftsemi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
+    return spark.range(1).select(
+        F.lit(with_orders.count()).cast("long").alias("with_orders"),
+        F.lit(without.count()).cast("long").alias("without_orders"),
+    )
+
+
+SQL_SEMI_ANTI_CUSTOMERS = """
+SELECT
+  CAST((SELECT count(*) FROM customer c WHERE EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+    AS with_orders,
+  CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+    AS without_orders
+"""
+
+
+# --- registry -----------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rl_block_keys": rl_block_keys,
+    "rl_block_stats": rl_block_stats,
+    "rl_block_histogram": rl_block_histogram,
+    "rl_reduction_ratio": rl_reduction_ratio,
+    "rl_top_blocks": rl_top_blocks,
+    "rl_candidate_pairs": rl_candidate_pairs,
+    "rl_pair_features": rl_pair_features,
+    "rl_match_edges": rl_match_edges,
+    "rl_eval_metrics": rl_eval_metrics,
+    "rl_clusters": rl_clusters,
+    "profile_documents": profile_documents,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_token_count": text_token_count,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "ann_topk_brute": ann_topk_brute,
+    "ann_topk_lsh": ann_topk_lsh,
+    "tpch_agg_pricing": tpch_agg_pricing,
+    "join_topk_customers": join_topk_customers,
+    "semi_anti_customers": semi_anti_customers,
+}
+
+ORACLES: dict[str, str] = {
+    "rl_block_keys": SQL_RL_BLOCK_KEYS,
+    "rl_block_stats": SQL_RL_BLOCK_STATS,
+    "rl_block_histogram": SQL_RL_BLOCK_HISTOGRAM,
+    "rl_reduction_ratio": SQL_RL_REDUCTION_RATIO,
+    "rl_top_blocks": SQL_RL_TOP_BLOCKS,
+    "rl_candidate_pairs": SQL_RL_CANDIDATE_PAIRS,
+    "rl_pair_features": SQL_RL_PAIR_FEATURES,
+    "rl_match_edges": SQL_RL_MATCH_EDGES,
+    "rl_eval_metrics": SQL_RL_EVAL_METRICS,
+    # rl_clusters: iterative CC — rows-only
+    "profile_documents": SQL_PROFILE_DOCUMENTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    # dedup_minhash_lsh / dedup_simhash: engine-hash dependent — rows-only
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
+    # ann_topk_lsh: hash-bucketed — rows-only
+    "tpch_agg_pricing": SQL_TPCH_AGG_PRICING,
+    "join_topk_customers": SQL_JOIN_TOPK_CUSTOMERS,
+    "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
+}

@@ -1,0 +1,108 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All native column expressions (JVM-side, codegen).
+
+These extend the reference's text handling (clean_text + per-field
+normalizers) to the document-corpus operations a web-scale pipeline
+needs; each has a DuckDB-oracle-checkable entry in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seed sets for the n-gram/stopword-voting
+# heuristic (public-knowledge lists, truncated for determinism).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "it": ("il", "la", "di", "che", "e", "un", "per", "non", "sono", "con"),
+    "es": ("el", "la", "de", "que", "y", "un", "por", "no", "es", "con"),
+    "fr": ("le", "la", "de", "et", "un", "que", "pour", "pas", "est", "avec"),
+}
+
+PUNCT_CHARS = ".,!?-"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_expr(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Whitespace token count (BPE-ish approximations layer on top)."""
+    return F.size(tokens_expr(col))
+
+
+def punct_ratio_expr(col: Column | str) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    c = _c(col)
+    kept = F.length(c) - F.length(F.translate(c, PUNCT_CHARS, ""))
+    return F.when(F.length(c) > 0, kept / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_expr(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are (lang) stopwords."""
+    toks = tokens_expr(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(col: Column | str) -> Column:
+    """Heuristic document-quality score in [0,1]: length band +
+    moderate punctuation + mean word length band (the classic cheap
+    web-text quality signals)."""
+    c = _c(col)
+    n = F.length(c).cast("double")
+    toks = tokens_expr(col)
+    ntok = F.size(toks).cast("double")
+    mean_wl = F.when(ntok > 0, (n - (ntok - 1)) / ntok).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 100) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    punct = punct_ratio_expr(col)
+    punct_ok = F.when(punct <= 0.1, F.lit(1.0)).otherwise(F.lit(0.5))
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return (len_ok + punct_ok + wl_ok) / F.lit(3.0)
+
+
+def lang_scores_expr(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts over the distinct token set."""
+    toks = F.array_distinct(F.transform(tokens_expr(col), F.lower))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id_expr(col: Column | str, min_hits: int = 1) -> Column:
+    """Argmax language by stopword votes; 'und' when no hits. Ties
+    break by fixed language order (en, de, it, es, fr)."""
+    scores = lang_scores_expr(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when(
+            (scores[lang] >= min_hits) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def fingerprint_expr(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized
+    token stream (whitespace-insensitive, case-insensitive)."""
+    norm = F.concat_ws(" ", F.transform(tokens_expr(col), F.lower))
+    return F.md5(norm)

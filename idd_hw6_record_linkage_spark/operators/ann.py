@@ -1,0 +1,122 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- brute_force_topk: exact cosine top-k via broadcast join + window —
+  the correctness baseline (and fine whenever |queries| is small).
+- lsh_topk: random-hyperplane bucket candidates (multi-table) →
+  exact cosine only within buckets → top-k; recall tested against the
+  brute-force baseline.
+
+The dot products are native (`zip_with` + `aggregate`); only the
+hyperplane bucketing uses a vectorized pandas UDF (numpy matmul over
+the whole Arrow batch at once).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+from idd_hw6_record_linkage_spark.functions.similarity import sim_cosine_arrays
+
+_PLANE_CACHE: dict[tuple[int, int, int, int], np.ndarray] = {}
+
+
+def _planes(table: int, num_planes: int, dim: int, seed: int) -> np.ndarray:
+    key = (table, num_planes, dim, seed)
+    if key not in _PLANE_CACHE:
+        rng = np.random.RandomState(seed * 7919 + table)
+        _PLANE_CACHE[key] = rng.standard_normal((dim, num_planes))
+    return _PLANE_CACHE[key]
+
+
+@pandas_udf(StringType())
+def hyperplane_bucket_udf(
+    vecs: pd.Series, table: pd.Series, num_planes: pd.Series, seed: pd.Series
+) -> pd.Series:
+    """Sign-pattern bucket id per vector: one numpy matmul per batch."""
+    if len(vecs) == 0:
+        return pd.Series([], dtype="object")
+    t = int(table.iloc[0])
+    k = int(num_planes.iloc[0])
+    s = int(seed.iloc[0])
+    mat = np.vstack(vecs.to_numpy())
+    planes = _planes(t, k, mat.shape[1], s)
+    signs = (mat @ planes) >= 0
+    weights = 1 << np.arange(k)
+    buckets = (signs * weights).sum(axis=1)
+    return pd.Series(buckets.astype(str))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus,
+    native cosine, window rank. Deterministic ties (sim desc, id asc)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", sim_cosine_arrays("q_vec", "c_vec")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed ANN: score only corpus vectors sharing a hyperplane
+    bucket with the query in any table (IVF-style candidate pruning)."""
+
+    def keyed(df: DataFrame, idc: str) -> DataFrame:
+        out = None
+        for t in range(num_tables):
+            part = df.select(
+                F.col(idc),
+                F.col(vec_col).alias("__v"),
+                F.concat_ws(
+                    ":",
+                    F.lit(f"t{t}"),
+                    hyperplane_bucket_udf(
+                        F.col(vec_col), F.lit(t), F.lit(num_planes), F.lit(seed)
+                    ),
+                ).alias("bucket"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    ck = keyed(corpus, id_col).withColumnRenamed("__v", "c_vec")
+    qk = keyed(queries, query_id_col).withColumnRenamed("__v", "q_vec")
+    cands = ck.join(qk, "bucket").dropDuplicates([query_id_col, id_col])
+    scored = cands.withColumn("cosine", sim_cosine_arrays("q_vec", "c_vec"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

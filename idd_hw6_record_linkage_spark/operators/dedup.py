@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all over a generic (id, text) document table:
+
+- exact:     hash-groupBy on md5(text) — one shuffle, maximal pushdown
+- ngram:     word n-gram shingle Jaccard within candidate blocks
+- minhash:   banded MinHash-LSH candidates → exact Jaccard verify
+- simhash:   64-bit simhash fingerprints (vectorized pandas UDF) +
+             bucket-join on rotated prefixes for hamming-≤k candidates
+- embedding: cosine near-dup over an array<float> column, brute or
+             random-hyperplane-bucketed
+
+Everything returns DataFrames; nothing collects. The verify step for
+LSH candidates is the same native Jaccard the blocking join feeds —
+candidates never blow up beyond band-collisions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from idd_hw6_record_linkage_spark.functions.similarity import sim_cosine_arrays
+from idd_hw6_record_linkage_spark.operators import blocking
+from idd_hw6_record_linkage_spark.operators.minhash import lsh_key_table, word_shingles
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, n_dups, keep_id): canonical representative = min id
+    per exact-content group. Pure hash aggregation."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per exact text: the min-id representative."""
+    w = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(w, id_col, "leftsemi")
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_expr(l: Column | str, r: Column | str, n: int = 3) -> Column:  # noqa: E741
+    """Jaccard over distinct word n-gram shingles, fully native."""
+    ls = word_shingles(l, n)
+    rs = word_shingles(r, n)
+    inter = F.size(F.array_intersect(ls, rs)).cast("double")
+    union = F.size(F.array_union(ls, rs)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_key: Column,
+    threshold: float = 0.4,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs: candidates from a blocking key, verified by
+    exact shingle Jaccard ≥ threshold."""
+    keys = blocking.key_table(df, id_col, block_key, "ngram")
+    pairs = blocking.candidate_pairs_self(keys)
+    attrs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    enriched = (
+        pairs.join(attrs.withColumnsRenamed({"id": "id_l", "t": "t_l"}), "id_l")
+        .join(attrs.withColumnsRenamed({"id": "id_r", "t": "t_r"}), "id_r")
+    )
+    return (
+        enriched.withColumn("jaccard", ngram_jaccard_expr("t_l", "t_r", n))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+# --- MinHash-LSH -------------------------------------------------------------
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidates verified with exact shingle Jaccard —
+    the scale path for unknown-key near-dup discovery."""
+    keys = lsh_key_table(
+        df, id_col, text_col, shingle_n, num_bands, rows_per_band
+    )
+    pairs = blocking.candidate_pairs_self(keys)
+    attrs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    enriched = (
+        pairs.join(attrs.withColumnsRenamed({"id": "id_l", "t": "t_l"}), "id_l")
+        .join(attrs.withColumnsRenamed({"id": "id_r", "t": "t_r"}), "id_r")
+    )
+    return (
+        enriched.withColumn("jaccard", ngram_jaccard_expr("t_l", "t_r", shingle_n))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+@pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace tokens, Arrow-batched numpy.
+
+    Per batch: token-hash with a stable 64-bit FNV-1a (numpy uint64
+    arithmetic), bit-vote, sign → fingerprint. No per-row Python at
+    the Spark level; inside the batch the loop is per-document over
+    vectorized token ops.
+    """
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.tolist()):
+        if not t:
+            out[i] = 0
+            continue
+        toks = t.split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, tok in enumerate(toks):
+            h = np.uint64(0xCBF29CE484222325)
+            for b in tok.encode("utf-8"):
+                h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            hs[j] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                fp |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(fp)
+    return pd.Series(out)
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_candidate_pairs(sim_df: DataFrame, prefix_bits: int = 16) -> DataFrame:
+    """Hamming-near candidates: bucket on 4 rotated 16-bit prefixes —
+    any pair within hamming distance 3 of each other shares at least
+    one exact 16-bit block (pigeonhole), so block-equality buckets are
+    a complete candidate set for d ≤ 3."""
+    keys = None
+    for blk in range(64 // prefix_bits):
+        part = sim_df.select(
+            F.col("id"),
+            F.concat_ws(
+                ":",
+                F.lit(f"sh{blk}"),
+                (
+                    F.shiftrightunsigned(F.col("simhash"), blk * prefix_bits)
+                    .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                ).cast("string"),
+            ).alias("block_key"),
+        ).withColumn("pass", F.lit("simhash"))
+        keys = part if keys is None else keys.unionByName(part)
+    return blocking.candidate_pairs_self(keys)
+
+
+def hamming64_expr(l: Column | str, r: Column | str) -> Column:  # noqa: E741
+    lc = F.col(l) if isinstance(l, str) else l
+    rc = F.col(r) if isinstance(r, str) else r
+    return F.bit_count(lc.bitwiseXOR(rc))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket candidates → hamming verify."""
+    sim = simhash_table(df, id_col, text_col)
+    pairs = simhash_candidate_pairs(sim)
+    s_l = sim.withColumnsRenamed({"id": "id_l", "simhash": "sh_l"})
+    s_r = sim.withColumnsRenamed({"id": "id_r", "simhash": "sh_r"})
+    return (
+        pairs.join(s_l, "id_l")
+        .join(s_r, "id_r")
+        .withColumn("hamming", hamming64_expr("sh_l", "sh_r"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )
+
+
+# --- embedding cosine --------------------------------------------------------
+
+
+def embedding_dup_pairs_brute(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All-pairs cosine ≥ t. O(n²) — baseline/oracle path only."""
+    a = df.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l"))
+    b = df.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r"))
+    return (
+        a.join(b, F.col("id_l") < F.col("id_r"))
+        .withColumn("cosine", sim_cosine_arrays("v_l", "v_r"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_l", "id_r", "cosine")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane (sign) LSH buckets per table →
+    within-bucket candidates → exact cosine verify."""
+    from idd_hw6_record_linkage_spark.operators.ann import hyperplane_bucket_udf
+
+    keys = None
+    for t in range(num_tables):
+        part = df.select(
+            F.col(id_col).alias("id"),
+            F.concat_ws(
+                ":",
+                F.lit(f"hp{t}"),
+                hyperplane_bucket_udf(F.col(vec_col), F.lit(t), F.lit(num_planes),
+                                      F.lit(seed)),
+            ).alias("block_key"),
+        ).withColumn("pass", F.lit("hplsh"))
+        keys = part if keys is None else keys.unionByName(part)
+    pairs = blocking.candidate_pairs_self(keys)
+    a = df.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l"))
+    b = df.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r"))
+    return (
+        pairs.join(a, "id_l")
+        .join(b, "id_r")
+        .withColumn("cosine", sim_cosine_arrays("v_l", "v_r"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_l", "id_r", "cosine")
+    )

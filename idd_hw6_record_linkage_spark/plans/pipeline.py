@@ -58,6 +58,93 @@ class PipelineConfig:
     resume: bool = False
 
 
+def normalize_plan(pages: DataFrame) -> DataFrame:
+    """Mediated web-record schema (SURVEY §1.3 role mapping): domain←
+    brand, sorted-title←model, clean text←description. Pure expression
+    plan — no materialization."""
+    title = F.regexp_extract(
+        F.col("html").cast("string"), r"<title>(.*?)</title>", 1
+    )
+    toks = title_tokens_expr(title)
+    # Empty title/text are *missing* for comparators (reference declares
+    # every field has_missing=True, 2_train_dedupe_models.py:56-88;
+    # missing → similarity 0). text_clean stays byte-exact ('' included)
+    # — the per-url invariant column.
+    return (
+        pages.select(
+            "url",
+            "warc_ts",
+            "lang",
+            url_domain_expr("url").alias("domain"),
+            F.nullif(F.concat_ws(" ", toks), F.lit("")).alias("title_norm"),
+            clean_text_expr("text").alias("text_clean"),
+        )
+        .withColumn("n_chars", F.length("text_clean"))
+        .withColumn("text_cmp", F.nullif(F.col("text_clean"), F.lit("")))
+    )
+
+
+def block_keys_plan(records: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    passes: list[DataFrame] = []
+    if cfg.use_b1:
+        # B1 analogue: coarse key = normalized domain (brand role).
+        passes.append(blocking.key_table(records, "url", F.col("domain"), "b1"))
+    if cfg.use_b2:
+        # B2 analogue: domain + 2-char prefix of the token-sorted title
+        # (brand + model-prefix role, blocking_B2.py:70-87).
+        key = F.when(
+            F.col("domain").isNotNull() & (F.length("title_norm") >= 2),
+            F.concat_ws(
+                "_",
+                F.col("domain"),
+                F.substring(
+                    F.regexp_replace("title_norm", r"[^a-z0-9]", ""), 1, 2
+                ),
+            ),
+        )
+        passes.append(blocking.key_table(records, "url", key, "b2"))
+    if cfg.use_lsh:
+        passes.append(
+            lsh_key_table(
+                records, "url", "text_clean",
+                num_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows,
+            )
+        )
+    keys = passes[0]
+    for p in passes[1:]:
+        keys = keys.unionByName(p)
+    return keys
+
+
+def run_in_memory(spark: SparkSession, pages: DataFrame,
+                  cfg: "PipelineConfig | None" = None) -> dict:
+    """Compose the full linkage DAG lazily (no parquet stage
+    boundaries) — for small inputs, smoke checks, and plan inspection."""
+    cfg = cfg or PipelineConfig(workdir="/tmp/_unused", run_id="mem")
+    # Persist the fan-out points: records feeds key-gen + both sides of
+    # the feature joins; keys feeds the size-count and both sides of the
+    # self-join (projection differences defeat ReuseExchange there).
+    records = normalize_plan(pages).persist()
+    raw_keys = block_keys_plan(records, cfg).persist()
+    keys = blocking.cap_blocks(raw_keys, cfg.max_block_size).persist()
+    pairs = blocking.candidate_pairs_self(keys).persist()
+    feats = scoring.compute_features(pairs, records, cfg.comparator_config, "url")
+    scored = scoring.score(feats, cfg.comparator_config)
+    edges, _ = scoring.threshold_with_fallback(
+        scored, cfg.score_threshold, cfg.fallback_threshold
+    )
+    clusters = clusters_from_edges(
+        edges.select("id_l", "id_r"), records.select("url"), id_col="url"
+    )
+    return {
+        "records": records,
+        "pairs": pairs,
+        "scored": scored,
+        "edges": edges,
+        "clusters": clusters,
+    }
+
+
 class LinkagePipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
         self.spark = spark
@@ -91,69 +178,16 @@ class LinkagePipeline:
     # --- stages ---------------------------------------------------------
 
     def normalize(self, pages: DataFrame) -> DataFrame:
-        """Mediated web-record schema (SURVEY §1.3 role mapping):
-        domain←brand, sorted-title←model, clean text←description."""
-        def build():
-            title = F.regexp_extract(
-                F.col("html").cast("string"), r"<title>(.*?)</title>", 1
-            )
-            toks = title_tokens_expr(title)
-            # Empty title/text are *missing* for comparators (reference
-            # declares every field has_missing=True, 2_train_dedupe_
-            # models.py:56-88; missing → similarity 0). text_clean stays
-            # byte-exact ('' included) — the per-url invariant column.
-            return (
-                pages.select(
-                    "url",
-                    "warc_ts",
-                    "lang",
-                    url_domain_expr("url").alias("domain"),
-                    F.nullif(F.concat_ws(" ", toks), F.lit("")).alias("title_norm"),
-                    clean_text_expr("text").alias("text_clean"),
-                )
-                .withColumn("n_chars", F.length("text_clean"))
-                .withColumn("text_cmp", F.nullif(F.col("text_clean"), F.lit("")))
-            )
-
-        return self._run_stage("normalize", build)
-
-    def block_keys(self, records: DataFrame) -> DataFrame:
-        cfg = self.cfg
-        passes: list[DataFrame] = []
-        if cfg.use_b1:
-            # B1 analogue: coarse key = normalized domain (brand role).
-            passes.append(
-                blocking.key_table(records, "url", F.col("domain"), "b1")
-            )
-        if cfg.use_b2:
-            # B2 analogue: domain + 2-char prefix of the token-sorted
-            # title (brand + model-prefix role, blocking_B2.py:70-87).
-            key = F.when(
-                F.col("domain").isNotNull() & (F.length("title_norm") >= 2),
-                F.concat_ws(
-                    "_",
-                    F.col("domain"),
-                    F.substring(F.regexp_replace("title_norm", r"[^a-z0-9]", ""), 1, 2),
-                ),
-            )
-            passes.append(blocking.key_table(records, "url", key, "b2"))
-        if cfg.use_lsh:
-            passes.append(
-                lsh_key_table(
-                    records, "url", "text_clean",
-                    num_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows,
-                )
-            )
-        keys = passes[0]
-        for p in passes[1:]:
-            keys = keys.unionByName(p)
-        return keys
+        return self._run_stage("normalize", lambda: normalize_plan(pages))
 
     def pairs(self, records: DataFrame) -> DataFrame:
         def build():
-            keys = self.block_keys(records)
-            # skew control: deterministic sub-blocking of oversized keys
-            keys = blocking.cap_blocks(keys, self.cfg.max_block_size)
+            # skew control: deterministic sub-blocking of oversized keys.
+            # Persist both fan-out points: raw keys feed the oversize
+            # count + the cap join; capped keys feed both sides of the
+            # candidate self-join.
+            raw = block_keys_plan(records, self.cfg).persist()
+            keys = blocking.cap_blocks(raw, self.cfg.max_block_size).persist()
             return blocking.candidate_pairs_self(keys)
 
         return self._run_stage("pairs", build)
