@@ -1,0 +1,111 @@
+"""Dedup-family and ANN operator tests: exact, n-gram, MinHash-LSH
+recall vs brute Jaccard, SimHash hamming buckets, embedding cosine
+(LSH recall vs brute), ANN top-k (LSH recall vs brute)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from idd_hw6_record_linkage_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    variants = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, base.replace("quick", "fast").replace("old", "new")),
+        (4, "completely different text about database engines and query plans"),
+        (5, "completely different text about database engines and query planners"),
+        (6, "unrelated short doc"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(variants, "doc_id int, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    dup = {r["keep_id"]: r["n_dups"] for r in groups.where(F.col("n_dups") > 1).collect()}
+    assert dup == {0: 2}
+    kept = dedup.exact_dedup(docs, "doc_id", "text")
+    assert kept.count() == 7
+    assert kept.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_lsh_recall(spark, docs):
+    got = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_bands=16, rows_per_band=2
+    )
+    pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
+    # brute-force truth at the same threshold
+    a = docs.select(F.col("doc_id").alias("id_l"), F.col("text").alias("t_l"))
+    b = docs.select(F.col("doc_id").alias("id_r"), F.col("text").alias("t_r"))
+    brute = (
+        a.join(b, F.col("id_l") < F.col("id_r"))
+        .withColumn("j", dedup.ngram_jaccard_expr("t_l", "t_r", 3))
+        .where(F.col("j") >= 0.5)
+    )
+    truth = {(r["id_l"], r["id_r"]) for r in brute.collect()}
+    assert truth, "fixture should contain near-dups"
+    recall = len(pairs & truth) / len(truth)
+    assert recall == 1.0, (pairs, truth)
+    assert pairs <= truth  # verify step guarantees no false positives
+
+
+def test_simhash_dedup(spark, docs):
+    got = dedup.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=10)
+    pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
+    assert (0, 1) in pairs  # identical texts, hamming 0
+    sim = dedup.simhash_table(docs, "doc_id", "text")
+    vals = {r["id"]: r["simhash"] for r in sim.collect()}
+    assert vals[0] == vals[1]
+    assert vals[7] == 0  # empty text fingerprint pinned to 0
+
+
+def test_embedding_dedup_lsh_vs_brute(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in base[i]]))
+        # planted near-dups: tiny perturbation
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    brute = dedup.embedding_dup_pairs_brute(emb, "vec_id", "embedding", 0.99)
+    truth = {(r["id_l"], r["id_r"]) for r in brute.collect()}
+    assert len(truth) >= 15
+    lsh = dedup.embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", 0.99, num_planes=8, num_tables=6
+    )
+    got = {(r["id_l"], r["id_r"]) for r in lsh.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+    assert got <= truth
+
+
+def test_ann_topk_lsh_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = ann.brute_force_topk(emb, queries, k=10)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    got_df = ann.lsh_topk(emb, queries, k=10, num_planes=6, num_tables=8)
+    got = {(r["query_id"], r["vec_id"]) for r in got_df.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, recall  # probabilistic pruning: most of top-10 found
+    # rank-1 must always be the query itself (cosine 1.0 with itself)
+    top1 = {r["query_id"]: r["vec_id"] for r in got_df.where(F.col("rank") == 1).collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}

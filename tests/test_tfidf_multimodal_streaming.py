@@ -1,0 +1,127 @@
+"""TF-IDF cosine (C7) vs a direct numpy computation; multimodal stub
+plumbing; streaming ingest parity with the batch plan."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from idd_hw6_record_linkage_spark.operators.tfidf import tfidf_cosine_for_pairs
+from idd_hw6_record_linkage_spark.operators import multimodal as MM
+
+
+def _ref_tfidf_cosine(corpus: dict, id_l, id_r):
+    """sklearn-convention tf-idf cosine (smooth idf, no l2 norm of idf)."""
+    n = len(corpus)
+    toks = {k: v.split() for k, v in corpus.items()}
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in vocab}
+    idf = {t: math.log((n + 1) / (df[t] + 1)) + 1.0 for t in vocab}
+
+    def vec(i):
+        tf = {}
+        for t in toks[i]:
+            tf[t] = tf.get(t, 0) + 1
+        return {t: c * idf[t] for t, c in tf.items()}
+
+    a, b = vec(id_l), vec(id_r)
+    dot = sum(a[t] * b.get(t, 0.0) for t in a)
+    na = math.sqrt(sum(x * x for x in a.values()))
+    nb = math.sqrt(sum(x * x for x in b.values()))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def test_tfidf_cosine_pairs(spark):
+    corpus = {
+        "a": "spark query engine for big data",
+        "b": "spark query engine for small data",
+        "c": "completely unrelated words here",
+        "d": "spark spark spark",
+    }
+    records = spark.createDataFrame(
+        list(corpus.items()), "url string, text_clean string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("c", "d")],
+        "id_l string, id_r string",
+    )
+    got = {
+        (r["id_l"], r["id_r"]): r["tfidf_cosine"]
+        for r in tfidf_cosine_for_pairs(records, pairs).collect()
+    }
+    for (l, r), v in got.items():  # noqa: E741
+        expect = _ref_tfidf_cosine(corpus, l, r)
+        assert v == pytest.approx(expect, abs=1e-9), (l, r)
+    assert got[("a", "b")] > 0.5
+    assert got[("c", "d")] == 0.0
+
+
+def test_media_meta_and_decode(spark):
+    rows = [
+        ("p1", b"\x89PNG\r\n\x1a\nrest-of-png"),
+        ("p2", b"\xff\xd8\xff\xe0jpegdata"),
+        ("p3", b"plain bytes"),
+        ("p4", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload binary")
+    meta = {
+        r["id"]: (r["media_bytes"], r["media_format"])
+        for r in df.select("id", *MM.media_meta_exprs("payload")).collect()
+    }
+    assert meta["p1"][1] == "png" and meta["p2"][1] == "jpeg"
+    assert meta["p3"][1] == "unknown"
+    assert meta["p4"] == (None, None)
+
+    feats = MM.decode_image_features(df, "id", "payload", feature_dim=8)
+    got = {r["id"]: r for r in feats.collect()}
+    assert set(got) == {"p1", "p2", "p3", "p4"}
+    assert len(got["p1"]["features"]) == 8
+    assert got["p4"]["width"] == 0 and got["p4"]["features"] == [0.0] * 8
+    # deterministic across recomputation
+    again = {r["id"]: r["features"] for r in MM.decode_image_features(
+        df, "id", "payload", feature_dim=8).collect()}
+    assert again["p1"] == got["p1"]["features"]
+
+    frames = MM.sample_media_frames(df, "id", "payload", n_frames=3)
+    per = frames.groupBy("id").count().collect()
+    assert {r["id"]: r["count"] for r in per} == {"p1": 3, "p2": 3, "p3": 3}
+
+
+def test_real_decode_gated(spark):
+    df = spark.createDataFrame([("x", b"abc")], "id string, payload binary")
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present; stub gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        MM.decode_image_features(df, "id", "payload", fake_features=False)
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+    from idd_hw6_record_linkage_spark.plans.pipeline import normalize_plan
+    from idd_hw6_record_linkage_spark.streaming import ingest
+
+    raw = generate_raw(spark, 40, partitions=2)
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ingest.read_pages_stream(spark, src)
+    q = ingest.run_to_parquet(
+        ingest.normalized_stream(stream, watermark="10 minutes"), out, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = normalize_plan(spark.read.parquet(src))
+    assert got.count() == batch.count()
+    assert set(got.columns) == set(batch.columns)
+    # value parity on the invariant column
+    g = got.select("url", "text_clean").exceptAll(batch.select("url", "text_clean"))
+    assert g.count() == 0
