@@ -70,6 +70,17 @@ def sim_jaccard_tokens(l: Column | str, r: Column | str) -> Column:  # noqa: E74
     return F.when(_c(l).isNull() | _c(r).isNull(), F.lit(0.0)).otherwise(sim)
 
 
+def sim_jaccard_token_arrays(l: Column | str, r: Column | str) -> Column:  # noqa: E741
+    """C6 over *pre-tokenized* distinct-token array columns. Tokenize
+    once per record upstream instead of twice per candidate pair — at
+    millions of pairs the per-pair split/distinct dominates otherwise."""
+    lt, rt = _c(l), _c(r)
+    inter = F.size(F.array_intersect(lt, rt)).cast("double")
+    union = F.size(F.array_union(lt, rt)).cast("double")
+    sim = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return F.when(lt.isNull() | rt.isNull(), F.lit(0.0)).otherwise(sim)
+
+
 def sim_cosine_arrays(l: Column | str, r: Column | str) -> Column:  # noqa: E741
     """Cosine similarity between two array<float/double> columns —
     native zip_with + aggregate (no UDF)."""

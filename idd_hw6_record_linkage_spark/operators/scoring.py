@@ -48,6 +48,8 @@ class Comparator:
             sim = S.sim_gauss(lcol, rcol, self.scale or 1.0)
         elif self.kind == "jaccard":
             sim = S.sim_jaccard_tokens(lcol, rcol)
+        elif self.kind == "jaccard_arrays":
+            sim = S.sim_jaccard_token_arrays(lcol, rcol)
         elif self.kind == "cosine":
             sim = S.sim_cosine_arrays(lcol, rcol)
         else:  # pragma: no cover
@@ -78,8 +80,10 @@ WEB_P1 = ComparatorConfig(
         # long strings over a shared alphabet.
         Comparator("title_sim", "jarowinkler", "title_norm", threshold=0.9),
         # description comparator binarized at 0.6 like the reference's
-        # description_sim (record_linkage.py:288-289, threshold=0.6)
-        Comparator("text_sim", "jaccard", "text_cmp", threshold=0.6),
+        # description_sim (record_linkage.py:288-289, threshold=0.6);
+        # operates on the per-record precomputed token array, not the
+        # raw string (tokenize once, not once per pair).
+        Comparator("text_sim", "jaccard_arrays", "text_tokens", threshold=0.6),
         Comparator("nchars_sim", "gauss", "n_chars", scale=50.0),
     ),
     # domain equality is weak evidence (it is the blocking key); the

@@ -81,6 +81,16 @@ def normalize_plan(pages: DataFrame) -> DataFrame:
         )
         .withColumn("n_chars", F.length("text_clean"))
         .withColumn("text_cmp", F.nullif(F.col("text_clean"), F.lit("")))
+        # pre-tokenized distinct tokens: comparators over pairs consume
+        # this array so tokenization happens once per record, not once
+        # per candidate pair (NULL when text empty → missing semantics)
+        .withColumn(
+            "text_tokens",
+            F.when(
+                F.col("text_cmp").isNotNull(),
+                F.array_distinct(F.split(F.col("text_cmp"), " ")),
+            ),
+        )
     )
 
 

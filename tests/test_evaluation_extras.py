@@ -1,0 +1,45 @@
+"""Bootstrap CI (A8) and subgroup recall (A9) tests."""
+
+from __future__ import annotations
+
+from idd_hw6_record_linkage_spark.operators.evaluation import (
+    bootstrap_f1_ci,
+    precision_recall_f1,
+    subgroup_recall,
+)
+
+
+def test_bootstrap_ci_brackets_point_f1(spark):
+    truth = spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(60)], "id_l string, id_r string"
+    )
+    # predict 50 of 60 true + 5 spurious
+    preds = spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(50)]
+        + [(f"x{i}", f"y{i}") for i in range(5)],
+        "id_l string, id_r string",
+    )
+    point = precision_recall_f1(preds, truth).f1
+    lo, hi = bootstrap_f1_ci(preds, truth, n_resamples=300, seed=42)
+    assert lo <= point <= hi
+    assert 0.0 < lo < hi < 1.0
+
+
+def test_subgroup_recall(spark):
+    truth = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2"), ("a3", "b3"), ("a4", "b4")],
+        "id_l string, id_r string",
+    )
+    preds = spark.createDataFrame(
+        [("a1", "b1"), ("a3", "b3")], "id_l string, id_r string"
+    )
+    attrs = spark.createDataFrame(
+        [("a1", "old"), ("a2", "old"), ("a3", "new"), ("a4", "new")],
+        "url string, era string",
+    )
+    got = {
+        r["bucket"]: (r["n_true"], r["n_found"], r["recall"])
+        for r in subgroup_recall(preds, truth, attrs, "era").collect()
+    }
+    assert got["old"] == (2, 1, 0.5)
+    assert got["new"] == (2, 1, 0.5)
