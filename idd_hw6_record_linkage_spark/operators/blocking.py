@@ -23,18 +23,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def key_table(df: DataFrame, id_col: str, key_expr: Column, pass_name: str) -> DataFrame:
-    """(id, block_key, pass) rows; null keys dropped (blocking_B1.py:85)."""
+def key_table(df: DataFrame, id_col: str, key_expr: Column, pass_name: str,
+              salt_basis: Column | None = None) -> DataFrame:
+    """(id, block_key, pass[, salt_basis]) rows; null keys dropped
+    (blocking_B1.py:85). ``salt_basis`` is an optional content-derived
+    column consumed by :func:`cap_blocks`."""
+    cols = [F.col(id_col).alias("id"), key_expr.alias("block_key")]
+    if salt_basis is not None:
+        cols.append(salt_basis.alias("salt_basis"))
     return (
-        df.select(F.col(id_col).alias("id"), key_expr.alias("block_key"))
+        df.select(*cols)
         .where(F.col("block_key").isNotNull())
         .withColumn("pass", F.lit(pass_name))
     )
 
 
-def cap_blocks(keys: DataFrame, max_block_size: int) -> DataFrame:
+def cap_blocks(keys: DataFrame, max_block_size: int,
+               salt_col: str | None = None) -> DataFrame:
     """Deterministically split oversized blocks into ~max_block_size
-    sub-blocks: key -> key#salt with salt = pmod(xxhash64(id), n_sub).
+    sub-blocks: key -> key#salt with salt = pmod(xxhash64(basis), n_sub).
+
+    ``salt_col`` is the *salt basis*: when it is a content-derived
+    column (e.g. a title-prefix), records with similar content land in
+    the same sub-block, so the cap costs almost no recall — true
+    duplicate pairs stay co-located. Without it the basis falls back to
+    the record id, which splits duplicate pairs across sub-blocks
+    (recall loss inside oversized blocks; other blocking passes must
+    recover those pairs).
 
     Uses a broadcast of the (small) oversized-key list, so normal keys
     take the fast path untouched.
@@ -43,12 +58,13 @@ def cap_blocks(keys: DataFrame, max_block_size: int) -> DataFrame:
     big = sizes.where(F.col("n") > max_block_size).select(
         "block_key", F.ceil(F.col("n") / max_block_size).cast("int").alias("n_sub")
     )
+    basis = F.xxhash64(salt_col) if salt_col else F.xxhash64("id")
     out = keys.join(F.broadcast(big), "block_key", "left")
     return out.withColumn(
         "block_key",
         F.when(
             F.col("n_sub").isNotNull(),
-            F.concat_ws("#", "block_key", F.pmod(F.xxhash64("id"), F.col("n_sub")).cast("string")),
+            F.concat_ws("#", "block_key", F.pmod(basis, F.col("n_sub")).cast("string")),
         ).otherwise(F.col("block_key")),
     ).drop("n_sub")
 

@@ -66,6 +66,7 @@ def lsh_key_table(
     shingle_n: int = 3,
     num_bands: int = 8,
     rows_per_band: int = 4,
+    salt_basis: Column | None = None,
 ) -> DataFrame:
     """(id, block_key, pass='lsh') rows — one per (record, band).
 
@@ -80,13 +81,16 @@ def lsh_key_table(
     shingled = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_n).alias("shingles"),
+        *([] if salt_basis is None else [salt_basis.alias("salt_basis")]),
     )
     signed = shingled.select(
         "id",
         minhash_signature(F.col("shingles"), num_bands * rows_per_band).alias("sig"),
+        *([] if salt_basis is None else ["salt_basis"]),
     )
     keys = signed.select(
         "id",
         F.explode(band_keys(F.col("sig"), num_bands, rows_per_band)).alias("block_key"),
+        *([] if salt_basis is None else ["salt_basis"]),
     )
     return keys.withColumn("pass", F.lit("lsh"))

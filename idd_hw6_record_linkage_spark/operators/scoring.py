@@ -123,8 +123,27 @@ def compute_features(
     pairs: DataFrame, records: DataFrame, config: ComparatorConfig, id_col: str = "url"
 ) -> DataFrame:
     """Feature matrix: (id_l, id_r, <one column per comparator>)."""
+    return compute_features_two(pairs, records, records, config, id_col)
+
+
+def compute_features_two(
+    pairs: DataFrame,
+    records_l: DataFrame,
+    records_r: DataFrame,
+    config: ComparatorConfig,
+    id_col: str = "url",
+) -> DataFrame:
+    """Two-source feature matrix (reference main case: Craigslist × US
+    record tables, record_linkage.py:457-459): left ids resolve against
+    records_l, right against records_r."""
     cols = sorted({c.col for c in config.comparators})
-    enriched = attach_pair_attributes(pairs, records, cols, id_col)
+    left = records_l.select(
+        F.col(id_col).alias("id_l"), *[F.col(c).alias(f"{c}_l") for c in cols]
+    )
+    right = records_r.select(
+        F.col(id_col).alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in cols]
+    )
+    enriched = pairs.join(left, "id_l").join(right, "id_r")
     feats = [c.expr(f"{c.col}_l", f"{c.col}_r") for c in config.comparators]
     return enriched.select("id_l", "id_r", *feats)
 

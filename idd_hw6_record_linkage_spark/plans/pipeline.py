@@ -95,10 +95,21 @@ def normalize_plan(pages: DataFrame) -> DataFrame:
 
 
 def block_keys_plan(records: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    # Content-derived salt basis for the block-size cap: duplicate
+    # records share a title/text prefix, so when a mega-domain block is
+    # split into sub-blocks, true pairs stay co-located (id-based salt
+    # would scatter them — recall loss inside oversized blocks).
+    salt_basis = F.coalesce(
+        F.substring("title_norm", 1, 12),
+        F.substring("text_clean", 1, 24),
+        F.col("url"),
+    )
     passes: list[DataFrame] = []
     if cfg.use_b1:
         # B1 analogue: coarse key = normalized domain (brand role).
-        passes.append(blocking.key_table(records, "url", F.col("domain"), "b1"))
+        passes.append(
+            blocking.key_table(records, "url", F.col("domain"), "b1", salt_basis)
+        )
     if cfg.use_b2:
         # B2 analogue: domain + 2-char prefix of the token-sorted title
         # (brand + model-prefix role, blocking_B2.py:70-87).
@@ -112,12 +123,13 @@ def block_keys_plan(records: DataFrame, cfg: "PipelineConfig") -> DataFrame:
                 ),
             ),
         )
-        passes.append(blocking.key_table(records, "url", key, "b2"))
+        passes.append(blocking.key_table(records, "url", key, "b2", salt_basis))
     if cfg.use_lsh:
         passes.append(
             lsh_key_table(
                 records, "url", "text_clean",
                 num_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows,
+                salt_basis=salt_basis,
             )
         )
     keys = passes[0]
@@ -136,7 +148,9 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
     # self-join (projection differences defeat ReuseExchange there).
     records = normalize_plan(pages).persist()
     raw_keys = block_keys_plan(records, cfg).persist()
-    keys = blocking.cap_blocks(raw_keys, cfg.max_block_size).persist()
+    keys = blocking.cap_blocks(
+        raw_keys, cfg.max_block_size, salt_col="salt_basis"
+    ).persist()
     pairs = blocking.candidate_pairs_self(keys).persist()
     feats = scoring.compute_features(pairs, records, cfg.comparator_config, "url")
     scored = scoring.score(feats, cfg.comparator_config)
@@ -152,6 +166,45 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
         "scored": scored,
         "edges": edges,
         "clusters": clusters,
+    }
+
+
+def link_sources(
+    spark: SparkSession,
+    pages_l: DataFrame,
+    pages_r: DataFrame,
+    cfg: "PipelineConfig | None" = None,
+) -> dict:
+    """Two-source record linkage — the reference's primary lifecycle
+    (record_linkage.py:588-693: Craigslist × US Used Cars): blocking
+    keys per source, cross-source candidate equi-join, feature scoring,
+    threshold-with-fallback. Output is matched PAIRS (the reference
+    emits pairs, not clusters, for two-source linkage:
+    record_linkage.py:528-536)."""
+    cfg = cfg or PipelineConfig(workdir="/tmp/_unused", run_id="link")
+    rec_l = normalize_plan(pages_l).persist()
+    rec_r = normalize_plan(pages_r).persist()
+    keys_l = blocking.cap_blocks(
+        block_keys_plan(rec_l, cfg), cfg.max_block_size, salt_col="salt_basis"
+    ).persist()
+    keys_r = blocking.cap_blocks(
+        block_keys_plan(rec_r, cfg), cfg.max_block_size, salt_col="salt_basis"
+    ).persist()
+    pairs = blocking.candidate_pairs_cross(keys_l, keys_r).persist()
+    feats = scoring.compute_features_two(
+        pairs, rec_l, rec_r, cfg.comparator_config, "url"
+    )
+    scored = scoring.score(feats, cfg.comparator_config)
+    matches, used = scoring.threshold_with_fallback(
+        scored, cfg.score_threshold, cfg.fallback_threshold
+    )
+    return {
+        "records_l": rec_l,
+        "records_r": rec_r,
+        "pairs": pairs,
+        "scored": scored,
+        "matches": matches,
+        "threshold_used": used,
     }
 
 
@@ -197,7 +250,9 @@ class LinkagePipeline:
             # count + the cap join; capped keys feed both sides of the
             # candidate self-join.
             raw = block_keys_plan(records, self.cfg).persist()
-            keys = blocking.cap_blocks(raw, self.cfg.max_block_size).persist()
+            keys = blocking.cap_blocks(
+                raw, self.cfg.max_block_size, salt_col="salt_basis"
+            ).persist()
             return blocking.candidate_pairs_self(keys)
 
         return self._run_stage("pairs", build)
