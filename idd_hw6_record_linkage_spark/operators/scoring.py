@@ -103,6 +103,46 @@ WEB_P3 = ComparatorConfig(
 )
 
 
+# Reference comparator configs, thresholds/scales verbatim from
+# record_linkage.py:271-381 (COMPARISON_CONFIGS) over the mediated car
+# schema (SURVEY §1.3).
+REF_P1 = ComparatorConfig(
+    "P1_textual_core",
+    (
+        Comparator("brand_sim", "jarowinkler", "brand", threshold=0.85),
+        Comparator("model_sim", "jarowinkler", "model", threshold=0.75),
+        Comparator("body_type_sim", "jarowinkler", "body_type", threshold=0.8),
+        Comparator("description_sim", "jaro", "description", threshold=0.6),
+        Comparator("price_sim", "gauss", "price", scale=5000),
+        Comparator("mileage_sim", "gauss", "mileage", scale=10000),
+    ),
+)
+REF_P2 = ComparatorConfig(
+    "P2_plus_location",
+    REF_P1.comparators
+    + (
+        Comparator("transmission_exact", "exact", "transmission"),
+        Comparator("fuel_type_exact", "exact", "fuel_type"),
+        Comparator("drive_exact", "exact", "drive"),
+        Comparator("city_region_sim", "jarowinkler", "city_region", threshold=0.8),
+        Comparator("state_exact", "exact", "state"),
+        Comparator("year_exact", "exact", "year"),
+    ),
+)
+REF_P3 = ComparatorConfig(
+    "P3_minimal_fast",
+    (
+        Comparator("brand_sim", "jarowinkler", "brand", threshold=0.85),
+        Comparator("model_sim", "jarowinkler", "model", threshold=0.75),
+        Comparator("year_exact", "exact", "year"),
+        Comparator("price_sim", "gauss", "price", scale=5000),
+        Comparator("mileage_sim", "gauss", "mileage", scale=10000),
+    ),
+)
+REF_CONFIGS = {"P1_textual_core": REF_P1, "P2_plus_location": REF_P2,
+               "P3_minimal_fast": REF_P3}
+
+
 def attach_pair_attributes(
     pairs: DataFrame, records: DataFrame, cols: list[str], id_col: str = "url"
 ) -> DataFrame:
