@@ -597,6 +597,106 @@ def ann_topk_lsh(spark, sf_dir):
     return ann.lsh_topk(emb, queries, k=5)
 
 
+# --- events: windowed / sessionized time-series evidence ----------------------
+
+
+def events_windowed_agg(spark, sf_dir):
+    """Tumbling 1-hour window per event_type: count + sum(value)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED_AGG = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_topk_per_user(spark, sf_dir):
+    """Top-3 events by value per user (window rank, deterministic ties)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "user_id", "event_id", F.round("value", 4).alias("value"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+SQL_EVENTS_TOPK_PER_USER = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+)
+SELECT user_id, event_id, CAST(round(value, 4) AS DOUBLE) AS value,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of boundary flags per user — the standard training-data
+    sessionizer as pure window functions."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(w).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+    CAST(sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY 1, 2
+"""
+
+
 # --- TPC-H-shape relational evidence ------------------------------------------
 
 
@@ -698,6 +798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
+    "events_windowed_agg": events_windowed_agg,
+    "events_topk_per_user": events_topk_per_user,
+    "events_sessionize": events_sessionize,
     "tpch_agg_pricing": tpch_agg_pricing,
     "join_topk_customers": join_topk_customers,
     "semi_anti_customers": semi_anti_customers,
@@ -725,6 +828,9 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
     # ann_topk_lsh: hash-bucketed — rows-only
+    "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
+    "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "tpch_agg_pricing": SQL_TPCH_AGG_PRICING,
     "join_topk_customers": SQL_JOIN_TOPK_CUSTOMERS,
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,

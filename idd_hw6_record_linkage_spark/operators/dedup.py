@@ -125,35 +125,35 @@ def minhash_dedup_pairs(
 def simhash64_udf(texts: pd.Series) -> pd.Series:
     """64-bit simhash over whitespace tokens, Arrow-batched numpy.
 
-    Per batch: token-hash with a stable 64-bit FNV-1a (numpy uint64
-    arithmetic), bit-vote, sign → fingerprint. No per-row Python at
-    the Spark level; inside the batch the loop is per-document over
-    vectorized token ops.
+    Token hashes are stable 64-bit values from md5 (C-speed, seed-free
+    → deterministic across workers/runs), memoized per batch — web
+    vocabulary repeats heavily, so the memo turns hashing into dict
+    lookups. Bit votes run as one numpy matmul-shaped reduction per
+    document.
     """
+    import hashlib
+
+    memo: dict[str, int] = {}
+
+    def tok_hash(tok: str) -> int:
+        h = memo.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            memo[tok] = h
+        return h
+
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
     out = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts.tolist()):
-        if not t:
-            out[i] = 0
-            continue
-        toks = t.split()
+        toks = t.split() if t else []
         if not toks:
             out[i] = 0
             continue
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for j, tok in enumerate(toks):
-            h = np.uint64(0xCBF29CE484222325)
-            for b in tok.encode("utf-8"):
-                h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            hs[j] = h
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        fp = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                fp |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(fp)
+        hs = np.fromiter((tok_hash(tok) for tok in toks), dtype=np.uint64,
+                         count=len(toks))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out[i] = np.int64((powers[votes > 0]).sum(dtype=np.uint64).astype(np.int64))
     return pd.Series(out)
 
 

@@ -253,6 +253,16 @@ class LinkagePipeline:
             keys = blocking.cap_blocks(
                 raw, self.cfg.max_block_size, salt_col="salt_basis"
             ).persist()
+            # blocking quality metrics, like the reference's per-run
+            # blocking logs (blocking_B1.py:92-127): stats per pass
+            # land in the metrics table alongside lineage rows.
+            stats = blocking.block_size_stats(keys).collect()[0]
+            M.append_stage_metrics(
+                self.spark, self.cfg.workdir, self.cfg.run_id, "block_stats",
+                None,
+                rows_in=int(stats["records_in_blocks"]),
+                pair_count=int(stats["candidate_pairs"]),
+            )
             return blocking.candidate_pairs_self(keys)
 
         return self._run_stage("pairs", build)
