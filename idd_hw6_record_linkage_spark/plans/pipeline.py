@@ -153,7 +153,10 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
     ).persist()
     pairs = blocking.candidate_pairs_self(keys).persist()
     feats = scoring.compute_features(pairs, records, cfg.comparator_config, "url")
-    scored = scoring.score(feats, cfg.comparator_config)
+    # persist: threshold_with_fallback's existence probe executes the
+    # scoring plan once; without the persist, clusters/consumers would
+    # re-run the whole Arrow-UDF scoring pass a second time.
+    scored = scoring.score(feats, cfg.comparator_config).persist()
     edges, _ = scoring.threshold_with_fallback(
         scored, cfg.score_threshold, cfg.fallback_threshold
     )

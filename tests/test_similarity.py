@@ -39,6 +39,43 @@ def test_jaro_winkler_known_values():
     assert _jaro_winkler("fly", "ant") == j
 
 
+def test_jaro_batch_matches_scalar_property():
+    """The vectorized batch kernel must be bit-identical to the scalar
+    reference on every row — including nulls, empties, unicode, equal
+    strings, and the long-string fallback path."""
+    from hypothesis import given, settings, strategies as st
+
+    from idd_hw6_record_linkage_spark.functions.similarity import _jaro_batch
+
+    pair = st.tuples(
+        st.one_of(st.none(), st.text(alphabet="abcdε ", max_size=20)),
+        st.one_of(st.none(), st.text(alphabet="abcdε ", max_size=20)),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(pair, min_size=1, max_size=50))
+    def check(pairs):
+        s1 = [p[0] for p in pairs]
+        s2 = [p[1] for p in pairs]
+        for winkler in (False, True):
+            got = _jaro_batch(s1, s2, winkler=winkler)
+            ref = _jaro_winkler if winkler else _jaro
+            for i, (a, b) in enumerate(pairs):
+                exp = 0.0 if (a is None or b is None) else ref(a, b)
+                assert got[i] == exp, (winkler, a, b, got[i], exp)
+
+    check()
+
+
+def test_jaro_batch_long_string_fallback():
+    from idd_hw6_record_linkage_spark.functions.similarity import _jaro_batch
+
+    a, b = "ab" * 400, "ab" * 399 + "ba"  # > _VEC_MAX_LEN → scalar path
+    got = _jaro_batch([a, b, a], [b, a, a], winkler=True)
+    assert got[0] == _jaro_winkler(a, b)
+    assert got[2] == 1.0
+
+
 def test_native_comparators(spark):
     df = spark.createDataFrame(
         [
