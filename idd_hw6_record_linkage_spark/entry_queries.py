@@ -51,13 +51,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _block_key() -> F.Column:
-    """source normalized per blocking_B2 normalize_string + '_' + lang."""
-    return F.concat_ws("_", normalize_string_expr("source"), F.col("lang"))
+    """source normalized per blocking_B2 normalize_string + '_' + lang;
+    NULL when either part is NULL (explicit guard on BOTH the Spark and
+    the DuckDB side — concat_ws would silently skip a NULL part while
+    SQL concat keeps the separator, diverging on null-bearing data)."""
+    src = normalize_string_expr("source")
+    return F.when(
+        src.isNotNull() & F.col("lang").isNotNull(),
+        F.concat(src, F.lit("_"), F.col("lang")),
+    )
 
 
+_SRC_NORM_SQL = "nullif(regexp_replace(lower(trim(source)), '[^a-z0-9]', '', 'g'), '')"
 _BLOCK_KEY_SQL = (
-    "concat(nullif(regexp_replace(lower(trim(source)), '[^a-z0-9]', '', 'g'), ''),"
-    " '_', lang)"
+    f"(CASE WHEN {_SRC_NORM_SQL} IS NULL OR lang IS NULL THEN NULL "
+    f"ELSE {_SRC_NORM_SQL} || '_' || lang END)"
 )
 
 

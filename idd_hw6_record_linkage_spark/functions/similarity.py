@@ -63,8 +63,11 @@ def sim_levenshtein(l: Column | str, r: Column | str) -> Column:  # noqa: E741
 def sim_jaccard_tokens(l: Column | str, r: Column | str) -> Column:  # noqa: E741
     """C6 token-set Jaccard over whitespace tokens (2_train_models.py:
     276-287 analogue). Native array ops."""
-    lt = F.array_distinct(F.split(F.trim(_c(l)), r"\s+"))
-    rt = F.array_distinct(F.split(F.trim(_c(r)), r"\s+"))
+    # array_remove '': split(trim('')) yields [''] — without the filter
+    # two empty strings would score 1.0 instead of the documented
+    # missing→0 recordlinkage semantics.
+    lt = F.array_remove(F.array_distinct(F.split(F.trim(_c(l)), r"\s+")), "")
+    rt = F.array_remove(F.array_distinct(F.split(F.trim(_c(r)), r"\s+")), "")
     inter = F.size(F.array_intersect(lt, rt)).cast("double")
     union = F.size(F.array_union(lt, rt)).cast("double")
     sim = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)

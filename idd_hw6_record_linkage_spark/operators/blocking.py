@@ -38,6 +38,33 @@ def key_table(df: DataFrame, id_col: str, key_expr: Column, pass_name: str,
     )
 
 
+def _oversized(sizes: DataFrame, threshold: int, target: int | None = None) -> DataFrame:
+    """Blocks with n > threshold, each with n_sub = ceil(n / target)
+    sub-blocks (target defaults to threshold)."""
+    return sizes.where(F.col("n") > threshold).select(
+        "block_key",
+        F.ceil(F.col("n") / (target or threshold)).cast("int").alias("n_sub"),
+    )
+
+
+def _apply_salt(keys: DataFrame, big: DataFrame, basis: Column,
+                flag: str | None = None) -> DataFrame:
+    """key -> key#pmod(xxhash64(basis), n_sub) for keys in ``big``;
+    broadcast of the (small) oversized-key list so normal keys take the
+    fast path untouched. ``flag`` optionally marks rows that were salted."""
+    out = keys.join(F.broadcast(big), "block_key", "left")
+    out = out.withColumn(
+        "block_key",
+        F.when(
+            F.col("n_sub").isNotNull(),
+            F.concat_ws("#", "block_key", F.pmod(basis, F.col("n_sub")).cast("string")),
+        ).otherwise(F.col("block_key")),
+    )
+    if flag is not None:
+        out = out.withColumn(flag, F.col("n_sub").isNotNull())
+    return out.drop("n_sub")
+
+
 def cap_blocks(keys: DataFrame, max_block_size: int,
                salt_col: str | None = None) -> DataFrame:
     """Deterministically split oversized blocks into ~max_block_size
@@ -51,22 +78,75 @@ def cap_blocks(keys: DataFrame, max_block_size: int,
     (recall loss inside oversized blocks; other blocking passes must
     recover those pairs).
 
-    Uses a broadcast of the (small) oversized-key list, so normal keys
-    take the fast path untouched.
+    Content-derived salting has a failure mode: if every record in an
+    oversized block shares one basis value (empty titles coalescing to
+    the same prefix), the whole block lands in a single sub-block and
+    the cap is defeated. A second, id-based tier catches that: sizes of
+    the *salted* sub-blocks are re-checked, and any at more than 4x the
+    cap are split by record id — a guaranteed-entropy basis — accepting
+    the documented recall loss inside those blocks in exchange for a
+    hard quadratic bound. The 4x slack separates ordinary content
+    clustering (a slot collecting a few coarse bases) from genuine
+    collapse (the whole block in one slot overshoots by ~n_sub x):
+    residual sub-blocks are bounded by 4x cap, never by the data.
     """
     sizes = keys.groupBy("block_key").agg(F.count("*").alias("n"))
-    big = sizes.where(F.col("n") > max_block_size).select(
-        "block_key", F.ceil(F.col("n") / max_block_size).cast("int").alias("n_sub")
+    big = _oversized(sizes, max_block_size)
+    basis = F.xxhash64(salt_col) if salt_col else F.xxhash64("id")
+    salted = _apply_salt(keys, big, basis, flag="_salted")
+    if salt_col is None:
+        # id basis is already max-entropy; one tier suffices.
+        return salted.drop("_salted")
+    sizes2 = (
+        salted.where(F.col("_salted"))
+        .groupBy("block_key")
+        .agg(F.count("*").alias("n"))
+    )
+    big2 = _oversized(sizes2, 4 * max_block_size, target=max_block_size)
+    return _apply_salt(salted, big2, F.xxhash64("id")).drop("_salted")
+
+
+def cap_blocks_pair(
+    keys_l: DataFrame, keys_r: DataFrame, max_block_size: int,
+    salt_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-source variant of :func:`cap_blocks`: ONE oversized-block
+    list and ONE n_sub modulus computed over the union of both sources'
+    key tables, applied identically to both sides.
+
+    Capping each side independently is wrong for linkage: a block over
+    the cap on only one side (or with different moduli) gets salted
+    keys ('key#0..n') on that side and plain 'key' on the other, so the
+    cross-source equi-join silently drops candidates for exactly the
+    hot blocks the cap targets.
+    """
+    both = keys_l.select("block_key").unionAll(keys_r.select("block_key"))
+    big = _oversized(
+        both.groupBy("block_key").agg(F.count("*").alias("n")), max_block_size
     )
     basis = F.xxhash64(salt_col) if salt_col else F.xxhash64("id")
-    out = keys.join(F.broadcast(big), "block_key", "left")
-    return out.withColumn(
-        "block_key",
-        F.when(
-            F.col("n_sub").isNotNull(),
-            F.concat_ws("#", "block_key", F.pmod(basis, F.col("n_sub")).cast("string")),
-        ).otherwise(F.col("block_key")),
-    ).drop("n_sub")
+    out_l = _apply_salt(keys_l, big, basis, flag="_salted")
+    out_r = _apply_salt(keys_r, big, basis, flag="_salted")
+    if salt_col is None:
+        return out_l.drop("_salted"), out_r.drop("_salted")
+    # second tier (content salt collapsed): same union-consistent list.
+    salted_union = (
+        out_l.where(F.col("_salted")).select("block_key")
+        .unionAll(out_r.where(F.col("_salted")).select("block_key"))
+    )
+    big2 = _oversized(
+        salted_union.groupBy("block_key").agg(F.count("*").alias("n")),
+        4 * max_block_size,
+        target=max_block_size,
+    )
+    # NOTE: the second tier salts by record id — ids from different
+    # sources land in arbitrary sub-blocks, so residual oversized
+    # blocks trade cross-source recall for the hard quadratic bound
+    # (exactly the documented cap semantics).
+    return (
+        _apply_salt(out_l, big2, F.xxhash64("id")).drop("_salted"),
+        _apply_salt(out_r, big2, F.xxhash64("id")).drop("_salted"),
+    )
 
 
 def candidate_pairs_self(keys: DataFrame) -> DataFrame:

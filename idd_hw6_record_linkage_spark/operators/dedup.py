@@ -99,12 +99,21 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    max_block_size: int = 500,
 ) -> DataFrame:
     """Banded-LSH candidates verified with exact shingle Jaccard —
-    the scale path for unknown-key near-dup discovery."""
+    the scale path for unknown-key near-dup discovery.
+
+    Band buckets are size-capped: boilerplate-heavy corpora (template
+    pages sharing one shingle set) produce hot bands that are quadratic
+    bombs at scale. Oversized bands are split by a content-derived salt
+    (text prefix) so true near-dups stay co-located; a residual id-salt
+    tier hard-bounds the worst case (see blocking.cap_blocks)."""
     keys = lsh_key_table(
-        df, id_col, text_col, shingle_n, num_bands, rows_per_band
+        df, id_col, text_col, shingle_n, num_bands, rows_per_band,
+        salt_basis=F.substring(F.trim(F.col(text_col)), 1, 24),
     )
+    keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
     pairs = blocking.candidate_pairs_self(keys)
     attrs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     enriched = (
@@ -163,11 +172,19 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_candidate_pairs(sim_df: DataFrame, prefix_bits: int = 16) -> DataFrame:
+def simhash_candidate_pairs(
+    sim_df: DataFrame, prefix_bits: int = 16, max_block_size: int = 500
+) -> DataFrame:
     """Hamming-near candidates: bucket on 4 rotated 16-bit prefixes —
     any pair within hamming distance 3 of each other shares at least
     one exact 16-bit block (pigeonhole), so block-equality buckets are
-    a complete candidate set for d ≤ 3."""
+    a complete candidate set for d ≤ 3.
+
+    There are only 4 × 2¹⁶ buckets, so at ≥10⁸ docs the buckets go
+    quadratic; oversized buckets are split with the full simhash as the
+    salt basis — exact fingerprint duplicates always stay co-located,
+    hamming-1..3 pairs inside a hot bucket may split (bounded,
+    documented recall loss in exchange for the hard quadratic cap)."""
     keys = None
     for blk in range(64 // prefix_bits):
         part = sim_df.select(
@@ -180,8 +197,10 @@ def simhash_candidate_pairs(sim_df: DataFrame, prefix_bits: int = 16) -> DataFra
                     .bitwiseAND(F.lit((1 << prefix_bits) - 1))
                 ).cast("string"),
             ).alias("block_key"),
+            F.col("simhash").cast("string").alias("salt_basis"),
         ).withColumn("pass", F.lit("simhash"))
         keys = part if keys is None else keys.unionByName(part)
+    keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
     return blocking.candidate_pairs_self(keys)
 
 

@@ -34,8 +34,12 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    # shorter-than-n texts: fall back to the whole string as one shingle
-    return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(F.array(c))
+    # shorter-than-n texts: fall back to the whitespace-normalized
+    # token join as one shingle (NOT the raw string — short texts that
+    # differ only in whitespace must still collide / verify equal).
+    return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:

@@ -187,12 +187,17 @@ def link_sources(
     cfg = cfg or PipelineConfig(workdir="/tmp/_unused", run_id="link")
     rec_l = normalize_plan(pages_l).persist()
     rec_r = normalize_plan(pages_r).persist()
-    keys_l = blocking.cap_blocks(
-        block_keys_plan(rec_l, cfg), cfg.max_block_size, salt_col="salt_basis"
-    ).persist()
-    keys_r = blocking.cap_blocks(
-        block_keys_plan(rec_r, cfg), cfg.max_block_size, salt_col="salt_basis"
-    ).persist()
+    # ONE oversized-block list over the union of both sources: capping
+    # each side independently would salt hot keys on one side only and
+    # silently drop their cross-source candidates.
+    keys_l, keys_r = blocking.cap_blocks_pair(
+        block_keys_plan(rec_l, cfg),
+        block_keys_plan(rec_r, cfg),
+        cfg.max_block_size,
+        salt_col="salt_basis",
+    )
+    keys_l = keys_l.persist()
+    keys_r = keys_r.persist()
     pairs = blocking.candidate_pairs_cross(keys_l, keys_r).persist()
     feats = scoring.compute_features_two(
         pairs, rec_l, rec_r, cfg.comparator_config, "url"
