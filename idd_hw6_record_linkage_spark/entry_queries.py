@@ -16,6 +16,10 @@ Operator coverage mapping (SURVEY §2):
 - pair feature matrix (C3/C5/C6):    rl_pair_features
 - threshold match (M3):              rl_match_edges
 - P/R/F1 semi/anti joins (A5):       rl_eval_metrics
+- connected components:              rl_clusters (recursive-CTE oracle)
+- feature means + impossible-match
+  audit (A6/A10):                    rl_audit_metrics
+- TF-IDF cosine comparator (C7):     pair_tfidf_cosine
 - column profile (A1):               profile_documents
 - dedup family:                      dedup_exact, dedup_ngram_jaccard,
                                      dedup_embedding_cosine
@@ -24,8 +28,8 @@ Operator coverage mapping (SURVEY §2):
 - ANN:                               ann_topk_brute
 - joins/aggs at TPC-H shape (J1/A6): tpch_agg_pricing, join_topk_customers,
                                      semi_anti_customers
-Non-SQL-expressible (rows-only check): rl_clusters (iterative CC),
-dedup_minhash_lsh, dedup_simhash, ann_topk_lsh.
+Rows-only checks (engine-specific hash functions no SQL engine
+reproduces): dedup_minhash_lsh, dedup_simhash, ann_topk_lsh.
 """
 
 from __future__ import annotations
@@ -339,14 +343,137 @@ FROM counts
 
 
 def rl_clusters(spark, sf_dir):
-    """Iterative CC over the match edges — not SQL-expressible; the
-    driver records a rows-only check (weaker, by design)."""
+    """Iterative large-star/small-star CC over the match edges. The
+    DuckDB oracle reproduces the fixpoint with a recursive CTE
+    (reachability closure + min label) — value-exact, not rows-only:
+    both sides assign each doc the lexicographic-min id of its
+    component."""
     docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
     edges = rl_match_edges(spark, sf_dir).select(
         F.col("id_l").cast("string").alias("id_l"),
         F.col("id_r").cast("string").alias("id_r"),
     )
     return clusters_from_edges(edges, docs, id_col="doc_id")
+
+
+SQL_RL_CLUSTERS = f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(id_l AS VARCHAR) AS u, CAST(id_r AS VARCHAR) AS v
+  FROM ({SQL_RL_MATCH_EDGES})
+), e AS (
+  SELECT u, v FROM base UNION ALL SELECT v, u FROM base
+), reach(id, r) AS (
+  SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR) FROM documents
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r
+)
+SELECT id AS url, min(r) AS entity_id FROM reach GROUP BY id
+"""
+
+
+def rl_audit_metrics(spark, sf_dir):
+    """A6 + A10 in one audit row: per-comparator feature means over the
+    pair feature matrix, plus the impossible-match rate of the
+    predicted edges (|n_chars gap| > 50 — the web analogue of the
+    reference's |year gap| > 1 audit, 3_audit_models.py:206-249)."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        feature_means,
+        impossible_match_rate,
+    )
+
+    feats = rl_pair_features(spark, sf_dir)
+    means = feature_means(feats, ["lev_sim", "jaccard_sim", "nchars_sim"])
+    attrs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    imp = impossible_match_rate(
+        rl_match_edges(spark, sf_dir).select("id_l", "id_r"),
+        attrs, id_col="doc_id", attr_col="n_chars", max_gap=50,
+    )
+    return means.crossJoin(imp)
+
+
+SQL_RL_AUDIT_METRICS = f"""
+WITH feats AS ({SQL_RL_PAIR_FEATURES}),
+edges AS (SELECT id_l, id_r FROM ({SQL_RL_MATCH_EDGES})),
+imp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_matches,
+         CAST(sum(CASE WHEN abs(a.n_chars - b.n_chars) > 50 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_impossible,
+         CAST(round(avg(CASE WHEN abs(a.n_chars - b.n_chars) > 50
+                             THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE)
+           AS impossible_rate
+  FROM edges e
+  JOIN documents a ON a.doc_id = e.id_l
+  JOIN documents b ON b.doc_id = e.id_r
+), means AS (
+  SELECT CAST(round(avg(lev_sim), 6) AS DOUBLE) AS avg_lev_sim,
+         CAST(round(avg(jaccard_sim), 6) AS DOUBLE) AS avg_jaccard_sim,
+         CAST(round(avg(nchars_sim), 6) AS DOUBLE) AS avg_nchars_sim
+  FROM feats
+)
+SELECT means.*, imp.* FROM means CROSS JOIN imp
+"""
+
+
+def pair_tfidf_cosine(spark, sf_dir):
+    """C7 TF-IDF cosine over candidate pairs — the sparse relational
+    formulation (explode → tf/idf aggregations → pair-token join), no
+    UDF, no dense vectors; value-checked against the same relational
+    algebra in DuckDB."""
+    from idd_hw6_record_linkage_spark.operators.tfidf import tfidf_cosine_for_pairs
+
+    docs = _docs(spark, sf_dir)
+    keys = blocking.key_table(docs, "doc_id", _block_key(), "b1")
+    left = keys.select(F.col("id").alias("id_l"), "block_key")
+    right = keys.select(F.col("id").alias("id_r"), "block_key")
+    pairs = (
+        left.join(right, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+    )
+    out = tfidf_cosine_for_pairs(docs, pairs, id_col="doc_id", text_col="text")
+    return out.select(
+        "id_l", "id_r", F.round("tfidf_cosine", 6).alias("tfidf_cosine")
+    )
+
+
+SQL_PAIR_TFIDF_COSINE = f"""
+WITH k AS (
+  SELECT doc_id, {_BLOCK_KEY_SQL} AS block_key FROM documents
+  WHERE {_BLOCK_KEY_SQL} IS NOT NULL
+), pairs AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM k a JOIN k b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+  GROUP BY 1, 2
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+idf AS (
+  SELECT token, ln(((SELECT n FROM nd) + 1.0) / (df + 1.0)) + 1.0 AS idf
+  FROM (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+), w AS (
+  SELECT doc_id, tf.token, tf.tf * idf.idf AS w
+  FROM tf JOIN idf ON tf.token = idf.token
+), norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+), dots AS (
+  SELECT p.id_l, p.id_r, sum(wl.w * wr.w) AS dot
+  FROM pairs p
+  JOIN w wl ON wl.doc_id = p.id_l
+  JOIN w wr ON wr.doc_id = p.id_r AND wr.token = wl.token
+  GROUP BY 1, 2
+)
+SELECT p.id_l, p.id_r,
+  CAST(round(CASE WHEN d.dot IS NOT NULL AND nl.nrm > 0 AND nr.nrm > 0
+                  THEN d.dot / (nl.nrm * nr.nrm) ELSE 0.0 END, 6) AS DOUBLE)
+    AS tfidf_cosine
+FROM pairs p
+LEFT JOIN dots d ON d.id_l = p.id_l AND d.id_r = p.id_r
+LEFT JOIN norms nl ON nl.doc_id = p.id_l
+LEFT JOIN norms nr ON nr.doc_id = p.id_r
+"""
 
 
 # --- profiling ---------------------------------------------------------------
@@ -794,6 +921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_match_edges": rl_match_edges,
     "rl_eval_metrics": rl_eval_metrics,
     "rl_clusters": rl_clusters,
+    "rl_audit_metrics": rl_audit_metrics,
+    "pair_tfidf_cosine": pair_tfidf_cosine,
     "profile_documents": profile_documents,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -824,7 +953,9 @@ ORACLES: dict[str, str] = {
     "rl_pair_features": SQL_RL_PAIR_FEATURES,
     "rl_match_edges": SQL_RL_MATCH_EDGES,
     "rl_eval_metrics": SQL_RL_EVAL_METRICS,
-    # rl_clusters: iterative CC — rows-only
+    "rl_clusters": SQL_RL_CLUSTERS,
+    "rl_audit_metrics": SQL_RL_AUDIT_METRICS,
+    "pair_tfidf_cosine": SQL_PAIR_TFIDF_COSINE,
     "profile_documents": SQL_PROFILE_DOCUMENTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

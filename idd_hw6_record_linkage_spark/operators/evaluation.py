@@ -103,6 +103,49 @@ def bootstrap_f1_ci(
     return float(np.percentile(f1s, 2.5)), float(np.percentile(f1s, 97.5))
 
 
+def feature_means(feats: DataFrame, cols: list[str]) -> DataFrame:
+    """A6 (record_linkage.py:465-467): per-comparator mean over the
+    feature matrix — the reference prints this diagnostic every run.
+    One partial-aggregatable pass; no collect."""
+    return feats.agg(
+        *[F.round(F.avg(c), 6).alias(f"avg_{c}") for c in cols]
+    )
+
+
+def impossible_match_rate(
+    matches: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    attr_col: str,
+    max_gap: float,
+) -> DataFrame:
+    """A10 (3_audit_models.py:206-249): share of predicted match pairs
+    whose numeric attribute gap exceeds ``max_gap`` — pairs a domain
+    rule says cannot be the same entity (the reference audits
+    |year_l - year_r| > 1). Join + one aggregation; returns a single
+    row (n_matches, n_impossible, impossible_rate)."""
+    a_l = attrs.select(
+        F.col(id_col).alias("id_l"), F.col(attr_col).alias("_attr_l")
+    )
+    a_r = attrs.select(
+        F.col(id_col).alias("id_r"), F.col(attr_col).alias("_attr_r")
+    )
+    gap_exceeded = (
+        F.abs(F.col("_attr_l") - F.col("_attr_r")) > F.lit(float(max_gap))
+    ).cast("long")
+    return (
+        matches.join(a_l, "id_l")
+        .join(a_r, "id_r")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.sum(gap_exceeded).cast("long").alias("n_impossible"),
+            F.round(F.avg(gap_exceeded.cast("double")), 6).alias(
+                "impossible_rate"
+            ),
+        )
+    )
+
+
 def subgroup_recall(
     predicted: DataFrame, truth: DataFrame, attrs: DataFrame,
     bucket_col: str, id_col: str = "url",

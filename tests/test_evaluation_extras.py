@@ -43,3 +43,35 @@ def test_subgroup_recall(spark):
     }
     assert got["old"] == (2, 1, 0.5)
     assert got["new"] == (2, 1, 0.5)
+
+
+def test_feature_means(spark):
+    from idd_hw6_record_linkage_spark.operators.evaluation import feature_means
+
+    feats = spark.createDataFrame(
+        [(0.5, 1.0), (0.7, 0.0), (0.9, 0.5)], "a double, b double"
+    )
+    row = feature_means(feats, ["a", "b"]).collect()[0]
+    assert abs(row["avg_a"] - 0.7) < 1e-9
+    assert abs(row["avg_b"] - 0.5) < 1e-9
+
+
+def test_impossible_match_rate(spark):
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        impossible_match_rate,
+    )
+
+    # reference semantics (3_audit_models.py:206-249): |year gap| > 1
+    attrs = spark.createDataFrame(
+        [("u1", 2010), ("u2", 2010), ("u3", 2015), ("u4", 2011)],
+        "url string, year int",
+    )
+    matches = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u1", "u4")], "id_l string, id_r string"
+    )
+    row = impossible_match_rate(
+        matches, attrs, id_col="url", attr_col="year", max_gap=1
+    ).collect()[0]
+    assert row["n_matches"] == 3
+    assert row["n_impossible"] == 1  # only u1-u3 (gap 5)
+    assert abs(row["impossible_rate"] - 1 / 3) < 1e-5
