@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
 
 from idd_hw6_record_linkage_spark.functions.similarity import sim_cosine_arrays
@@ -50,6 +50,41 @@ def hyperplane_bucket_udf(
     weights = 1 << np.arange(k)
     buckets = (signs * weights).sum(axis=1)
     return pd.Series(buckets.astype(str))
+
+
+@pandas_udf(ArrayType(StringType()))
+def hyperplane_probe_buckets_udf(
+    vecs: pd.Series,
+    table: pd.Series,
+    num_planes: pd.Series,
+    seed: pd.Series,
+    num_probes: pd.Series,
+) -> pd.Series:
+    """Multi-probe bucket ids per vector: the base sign-pattern bucket
+    plus single-bit flips of the (num_probes - 1) lowest-|projection|
+    hyperplanes — the planes the vector sits closest to, i.e. where a
+    true neighbor most likely landed on the other side (multi-probe
+    LSH, Lv et al., VLDB'07). One matmul + one argsort per batch."""
+    if len(vecs) == 0:
+        return pd.Series([], dtype="object")
+    t = int(table.iloc[0])
+    k = int(num_planes.iloc[0])
+    s = int(seed.iloc[0])
+    p = max(1, int(num_probes.iloc[0]))
+    mat = np.vstack(vecs.to_numpy())
+    planes = _planes(t, k, mat.shape[1], s)
+    proj = mat @ planes
+    weights = 1 << np.arange(k)
+    base = ((proj >= 0) * weights).sum(axis=1).astype(np.int64)
+    # per-row plane order by |margin| ascending
+    order = np.argsort(np.abs(proj), axis=1)
+    out = []
+    for i in range(mat.shape[0]):
+        bs = [base[i]]
+        for j in range(min(p - 1, k)):
+            bs.append(base[i] ^ (1 << int(order[i, j])))
+        out.append([str(b) for b in bs])
+    return pd.Series(out)
 
 
 def brute_force_topk(
@@ -89,29 +124,55 @@ def lsh_topk(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    num_probes: int = 1,
 ) -> DataFrame:
     """Bucketed ANN: score only corpus vectors sharing a hyperplane
-    bucket with the query in any table (IVF-style candidate pruning)."""
+    bucket with the query in any table (IVF-style candidate pruning).
 
-    def keyed(df: DataFrame, idc: str) -> DataFrame:
+    Two recall dials, both cheap on the query side only:
+    - ``num_tables``: independent hash tables (linear cost in corpus
+      keying — each table re-keys the corpus);
+    - ``num_probes``: multi-probe — each query additionally probes the
+      buckets reached by flipping its lowest-margin hyperplane bits.
+      Costs nothing on the corpus side, so it is the preferred dial at
+      scale (corpus keying dominates when |corpus| >> |queries|)."""
+
+    def keyed(df: DataFrame, idc: str, probes: int) -> DataFrame:
         out = None
         for t in range(num_tables):
-            part = df.select(
-                F.col(idc),
-                F.col(vec_col).alias("__v"),
-                F.concat_ws(
-                    ":",
-                    F.lit(f"t{t}"),
-                    hyperplane_bucket_udf(
-                        F.col(vec_col), F.lit(t), F.lit(num_planes), F.lit(seed)
-                    ),
-                ).alias("bucket"),
-            )
+            if probes <= 1:
+                part = df.select(
+                    F.col(idc),
+                    F.col(vec_col).alias("__v"),
+                    F.concat_ws(
+                        ":",
+                        F.lit(f"t{t}"),
+                        hyperplane_bucket_udf(
+                            F.col(vec_col), F.lit(t), F.lit(num_planes),
+                            F.lit(seed),
+                        ),
+                    ).alias("bucket"),
+                )
+            else:
+                # explode is a generator — stage the probe array first
+                part = df.select(
+                    F.col(idc),
+                    F.col(vec_col).alias("__v"),
+                    F.explode(
+                        hyperplane_probe_buckets_udf(
+                            F.col(vec_col), F.lit(t), F.lit(num_planes),
+                            F.lit(seed), F.lit(probes),
+                        )
+                    ).alias("__b"),
+                ).select(
+                    idc, "__v",
+                    F.concat_ws(":", F.lit(f"t{t}"), "__b").alias("bucket"),
+                )
             out = part if out is None else out.unionByName(part)
         return out
 
-    ck = keyed(corpus, id_col).withColumnRenamed("__v", "c_vec")
-    qk = keyed(queries, query_id_col).withColumnRenamed("__v", "q_vec")
+    ck = keyed(corpus, id_col, 1).withColumnRenamed("__v", "c_vec")
+    qk = keyed(queries, query_id_col, num_probes).withColumnRenamed("__v", "q_vec")
     cands = ck.join(qk, "bucket").dropDuplicates([query_id_col, id_col])
     scored = cands.withColumn("cosine", sim_cosine_arrays("q_vec", "c_vec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))

@@ -56,6 +56,14 @@ class PipelineConfig:
     score_threshold: float = 0.5
     fallback_threshold: float = 0.3
     resume: bool = False
+    # Stage-boundary table format. "parquet" (default) writes
+    # workdir/<stage>; "iceberg" writes catalog tables
+    # <iceberg_namespace>.<run_id>_<stage> via writeTo — requires the
+    # iceberg-spark runtime jar + a configured catalog (north rule
+    # names Iceberg; this container has no jar, so the flag fails fast
+    # with a clear message instead of a Py4J stack).
+    table_format: str = "parquet"
+    iceberg_namespace: str = "linkage"
 
 
 def normalize_plan(pages: DataFrame) -> DataFrame:
@@ -225,21 +233,45 @@ class LinkagePipeline:
     # --- stage plumbing ------------------------------------------------
 
     def _stage_path(self, stage: str) -> str:
+        if self.cfg.table_format == "iceberg":
+            return f"{self.cfg.iceberg_namespace}.{self.cfg.run_id}_{stage}"
         return os.path.join(self.cfg.workdir, stage)
+
+    def _write_stage(self, df: DataFrame, target: str) -> None:
+        if self.cfg.table_format == "parquet":
+            df.write.mode("overwrite").parquet(target)
+        elif self.cfg.table_format == "iceberg":
+            from idd_hw6_record_linkage_spark.sources.pages import iceberg_available
+
+            if not iceberg_available(self.spark):
+                raise RuntimeError(
+                    "table_format='iceberg' needs the iceberg-spark runtime "
+                    "jar + a catalog; submit with --packages org.apache."
+                    "iceberg:iceberg-spark-runtime-4.0_2.13:<ver> or use "
+                    "table_format='parquet'"
+                )
+            df.writeTo(target).createOrReplace()
+        else:
+            raise ValueError(f"unknown table_format: {self.cfg.table_format}")
+
+    def _read_stage(self, target: str) -> DataFrame:
+        if self.cfg.table_format == "iceberg":
+            return self.spark.read.format("iceberg").load(target)
+        return self.spark.read.parquet(target)
 
     def _run_stage(self, stage: str, build, rows_in: int | None = None,
                    pair_count: int | None = None, match_count: int | None = None,
                    ) -> DataFrame:
-        """Materialize a stage to parquet unless already completed for
-        this run_id (resume)."""
+        """Materialize a stage to the configured table format unless
+        already completed for this run_id (resume)."""
         path = self._stage_path(stage)
         if self.cfg.resume and M.stage_completed(
             self.spark, self.cfg.workdir, self.cfg.run_id, stage
         ):
-            return self.spark.read.parquet(path)
+            return self._read_stage(path)
         df = build()
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        self._write_stage(df, path)
+        out = self._read_stage(path)
         M.append_stage_metrics(
             self.spark, self.cfg.workdir, self.cfg.run_id, stage, out,
             rows_in=rows_in, pair_count=pair_count, match_count=match_count,
