@@ -476,6 +476,79 @@ LEFT JOIN norms nr ON nr.doc_id = p.id_r
 """
 
 
+def rl_cross_source_matches(spark, sf_dir):
+    """Two-source linkage slice — the reference's primary lifecycle
+    (record_linkage.py:588-693, Craigslist × US Used Cars): documents
+    split into two disjoint sources (doc_id mod 3: 0 vs nonzero — the
+    synthetic dup structure repeats every 20 ids, so a mod-2 split
+    would put every dup pair on one side), blocked on the same key per
+    side, CROSS-source candidate equi-join (no id-order constraint —
+    sides are disjoint), scored with the shared feature set,
+    thresholded at 0.5."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("t40"),
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+        F.col("n_chars").cast("double").alias("nc"),
+        _block_key().alias("block_key"),
+    ).where(F.col("block_key").isNotNull())
+    l = docs.where(F.col("doc_id") % 3 == 0).select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("t40").alias("t40_l"),
+        F.col("toks").alias("toks_l"), F.col("nc").alias("nc_l"), "block_key",
+    )
+    r = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("id_r"), F.col("t40").alias("t40_r"),
+        F.col("toks").alias("toks_r"), F.col("nc").alias("nc_r"), "block_key",
+    )
+    pairs = l.join(r, "block_key")
+    lev = F.when(
+        F.greatest(F.length("t40_l"), F.length("t40_r")) == 0, F.lit(1.0)
+    ).otherwise(
+        1.0
+        - F.levenshtein("t40_l", "t40_r")
+        / F.greatest(F.length("t40_l"), F.length("t40_r")).cast("double")
+    )
+    jac = F.size(F.array_intersect("toks_l", "toks_r")) / F.size(
+        F.array_union("toks_l", "toks_r")
+    ).cast("double")
+    gauss = F.pow(F.lit(2.0), -F.pow((F.col("nc_l") - F.col("nc_r")) / 100.0, 2))
+    score = F.round((lev + jac + gauss) / 3.0, 6)
+    return pairs.select(
+        "id_l", "id_r", score.alias("score")
+    ).where(F.col("score") >= 0.5)
+
+
+SQL_RL_CROSS_SOURCE_MATCHES = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 40) AS t40,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         CAST(n_chars AS DOUBLE) AS nc,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+  WHERE {_BLOCK_KEY_SQL} IS NOT NULL
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         a.t40 AS t40_l, b.t40 AS t40_r,
+         a.toks AS toks_l, b.toks AS toks_r,
+         a.nc AS nc_l, b.nc AS nc_r
+  FROM d a JOIN d b ON a.block_key = b.block_key
+  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+), s AS (
+  SELECT id_l, id_r,
+    CAST(round((
+        (CASE WHEN greatest(length(t40_l), length(t40_r)) = 0 THEN 1.0
+         ELSE 1.0 - levenshtein(t40_l, t40_r)
+                    / CAST(greatest(length(t40_l), length(t40_r)) AS DOUBLE) END)
+        + len(list_intersect(toks_l, toks_r))
+          / CAST(len(list_distinct(toks_l || toks_r)) AS DOUBLE)
+        + pow(2.0, -pow((nc_l - nc_r) / 100.0, 2))
+      ) / 3.0, 6) AS DOUBLE) AS score
+  FROM p
+)
+SELECT id_l, id_r, score FROM s WHERE score >= 0.5
+"""
+
+
 # --- profiling ---------------------------------------------------------------
 
 
@@ -922,6 +995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_eval_metrics": rl_eval_metrics,
     "rl_clusters": rl_clusters,
     "rl_audit_metrics": rl_audit_metrics,
+    "rl_cross_source_matches": rl_cross_source_matches,
     "pair_tfidf_cosine": pair_tfidf_cosine,
     "profile_documents": profile_documents,
     "dedup_exact": dedup_exact,
@@ -955,6 +1029,7 @@ ORACLES: dict[str, str] = {
     "rl_eval_metrics": SQL_RL_EVAL_METRICS,
     "rl_clusters": SQL_RL_CLUSTERS,
     "rl_audit_metrics": SQL_RL_AUDIT_METRICS,
+    "rl_cross_source_matches": SQL_RL_CROSS_SOURCE_MATCHES,
     "pair_tfidf_cosine": SQL_PAIR_TFIDF_COSINE,
     "profile_documents": SQL_PROFILE_DOCUMENTS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -71,6 +71,15 @@ def pairwise_cluster_f1(predicted_clusters: DataFrame, expected_clusters: DataFr
     )
 
 
+# Poisson(1) CDF, k = 0..7: P(K > 7) ≈ 1e-5 — truncation is far below
+# bootstrap noise. Used as an inverse-CDF ladder over a uniform draw.
+_POISSON1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
 def bootstrap_f1_ci(
     predicted: DataFrame,
     truth: DataFrame,
@@ -78,27 +87,55 @@ def bootstrap_f1_ci(
     seed: int = 42,
 ) -> tuple[float, float]:
     """A8 (3_audit_models.py:131-183): bootstrap CI on F1 by Poisson
-    resampling of the truth set — single pass per resample, no
-    driver-side materialization of pairs."""
+    resampling of the truth set — FULLY DISTRIBUTED. Each truth pair
+    contributes weight w ~ Poisson(1) to each resample (the standard
+    Poisson bootstrap, equivalent to multinomial resampling for large
+    n), with w derived from xxhash64(pair, resample, seed) so the
+    result is deterministic and partitioning-invariant. Only the
+    n_resamples aggregate rows reach the driver — the truth-hit vector
+    never does, so a 10⁸-pair truth set costs one shuffle, not driver
+    memory. Predictions are held fixed (fp = n_pred − tp), the same
+    approximation the reference makes."""
     import numpy as np
 
     preds = canonical_pairs(predicted).withColumn("hit", F.lit(1))
     true = canonical_pairs(truth)
-    joined = true.join(preds, ["id_l", "id_r"], "left").select(
-        F.coalesce("hit", F.lit(0)).alias("hit")
-    )
-    hits = np.array([r["hit"] for r in joined.collect()], dtype=np.int64)
     n_pred = preds.count()
-    rng = np.random.RandomState(seed)
+    joined = true.join(preds, ["id_l", "id_r"], "left").select(
+        "id_l", "id_r", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    fanned = joined.select(
+        "id_l", "id_r", "hit",
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("rs"),
+    )
+    u = (
+        F.pmod(
+            F.xxhash64("id_l", "id_r", "rs", F.lit(seed)), F.lit(2**40)
+        ).cast("double")
+        / float(2**40)
+    )
+    w = F.lit(len(_POISSON1_CDF))
+    for k in reversed(range(len(_POISSON1_CDF))):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    per = (
+        fanned.withColumn("w", w)
+        .groupBy("rs")
+        .agg(
+            F.sum("w").alias("n_tot"),
+            F.sum(F.col("w") * F.col("hit")).alias("tp"),
+        )
+        .collect()
+    )
     f1s = []
-    n = len(hits)
-    for _ in range(n_resamples):
-        sample = hits[rng.randint(0, n, size=n)]
-        tp = int(sample.sum())
-        fn = n - tp
-        fp = n_pred - tp  # approximation: predictions fixed
-        p = tp / (tp + fp) if tp + fp else 0.0
-        r = tp / (tp + fn) if tp + fn else 0.0
+    for row in per:
+        tp = int(row["tp"])
+        fn = int(row["n_tot"]) - tp
+        # approximation: predictions fixed. Clamped — resampled tp is a
+        # weighted sum and can exceed n_pred, which would drive fp
+        # negative and F1 over 1.
+        fp = max(0, n_pred - tp)
+        p = tp / (tp + fp) if tp + fp > 0 else 0.0
+        r = tp / (tp + fn) if tp + fn > 0 else 0.0
         f1s.append(2 * p * r / (p + r) if p + r else 0.0)
     return float(np.percentile(f1s, 2.5)), float(np.percentile(f1s, 97.5))
 

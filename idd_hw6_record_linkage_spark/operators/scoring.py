@@ -184,6 +184,18 @@ def compute_features_two(
         F.col(id_col).alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in cols]
     )
     enriched = pairs.join(left, "id_l").join(right, "id_r")
+    return compute_features_enriched(enriched, config)
+
+
+def compute_features_enriched(
+    enriched: DataFrame, config: ComparatorConfig
+) -> DataFrame:
+    """Feature matrix over a PRE-ENRICHED pair table (one row per pair
+    with `<col>_l` / `<col>_r` attribute columns, e.g. from
+    :func:`attach_pair_attributes` or a bucketed/co-partitioned join
+    materialized upstream). Map-only: comparator expressions + Arrow
+    UDF batches, no shuffle — the shape the scoring stage has on a
+    cluster where pair enrichment is co-located by bucketing."""
     feats = [c.expr(f"{c.col}_l", f"{c.col}_r") for c in config.comparators]
     return enriched.select("id_l", "id_r", *feats)
 

@@ -89,14 +89,24 @@ def normalize_plan(pages: DataFrame) -> DataFrame:
         )
         .withColumn("n_chars", F.length("text_clean"))
         .withColumn("text_cmp", F.nullif(F.col("text_clean"), F.lit("")))
-        # pre-tokenized distinct tokens: comparators over pairs consume
-        # this array so tokenization happens once per record, not once
-        # per candidate pair (NULL when text empty → missing semantics)
+        # pre-tokenized distinct tokens, HASHED to int64: comparators
+        # over pairs consume this array so tokenization happens once
+        # per record, not once per candidate pair (NULL when text
+        # empty → missing semantics). Hashing matters at scale: the
+        # pair join ships both sides' token arrays through the
+        # shuffle, and 8-byte longs move ~3x fewer bytes than token
+        # strings — set Jaccard is hash-invariant (distinct-token
+        # collisions are ~n²/2⁻⁶⁴, i.e. never).
         .withColumn(
             "text_tokens",
             F.when(
                 F.col("text_cmp").isNotNull(),
-                F.array_distinct(F.split(F.col("text_cmp"), " ")),
+                F.array_distinct(
+                    F.transform(
+                        F.split(F.col("text_cmp"), " "),
+                        lambda t: F.xxhash64(t),
+                    )
+                ),
             ),
         )
     )

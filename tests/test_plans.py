@@ -85,3 +85,37 @@ def test_scoring_udf_is_arrow_batched(spark):
     plan = _plan(df.select(sim_jaro_winkler("s1", "s2").alias("x")))
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_tfidf_and_cross_source_no_cartesian(spark):
+    """The sparse TF-IDF pair join and the cross-source match join must
+    both stay hash equi-joins — a cartesian here is a 100-TB disaster."""
+    from idd_hw6_record_linkage_spark.entry_queries import (
+        pair_tfidf_cosine,
+        rl_cross_source_matches,
+    )
+
+    for q in (pair_tfidf_cosine, rl_cross_source_matches):
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_scaling_scoring_stage_is_map_only(spark):
+    """The bench's timed scaling section (comparator evaluation over a
+    pre-enriched pair table) must contain NO exchange: map-side
+    expressions + Arrow UDF only."""
+    from idd_hw6_record_linkage_spark.operators import scoring
+
+    enriched = spark.createDataFrame(
+        [("a", "b", "x.com", "x.com", "t u v", "t u w",
+          [1, 2, 3], [1, 2, 4], 10, 12)],
+        "id_l string, id_r string, domain_l string, domain_r string,"
+        "title_norm_l string, title_norm_r string,"
+        "text_tokens_l array<bigint>, text_tokens_r array<bigint>,"
+        "n_chars_l int, n_chars_r int",
+    )
+    feats = scoring.compute_features_enriched(enriched, scoring.WEB_P1)
+    scored = scoring.score(feats, scoring.WEB_P1)
+    plan = _plan(scored.where(F.col("score") >= 0.5))
+    assert "Exchange" not in plan, plan
