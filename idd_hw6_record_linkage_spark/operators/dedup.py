@@ -109,10 +109,14 @@ def minhash_dedup_pairs(
     bombs at scale. Oversized bands are split by a content-derived salt
     (text prefix) so true near-dups stay co-located; a residual id-salt
     tier hard-bounds the worst case (see blocking.cap_blocks)."""
+    # persist: the minhash signature (32 hashes over shingle arrays) is
+    # the expensive part, and cap_blocks scans its input several times
+    # (size count, salt join, tier-2 re-check) — without the persist
+    # the signatures would recompute per scan.
     keys = lsh_key_table(
         df, id_col, text_col, shingle_n, num_bands, rows_per_band,
         salt_basis=F.substring(F.trim(F.col(text_col)), 1, 24),
-    )
+    ).persist()
     keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
     pairs = blocking.candidate_pairs_self(keys)
     attrs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
@@ -200,6 +204,9 @@ def simhash_candidate_pairs(
             F.col("simhash").cast("string").alias("salt_basis"),
         ).withColumn("pass", F.lit("simhash"))
         keys = part if keys is None else keys.unionByName(part)
+    # persist: cap_blocks scans the key table several times; without
+    # this the simhash UDF would re-run per scan x 4 rotations.
+    keys = keys.persist()
     keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
     return blocking.candidate_pairs_self(keys)
 
@@ -213,8 +220,10 @@ def hamming64_expr(l: Column | str, r: Column | str) -> Column:  # noqa: E741
 def simhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket candidates → hamming verify."""
-    sim = simhash_table(df, id_col, text_col)
+    """SimHash near-dup pairs: bucket candidates → hamming verify.
+    The fingerprint table is persisted — it feeds 4 rotated key scans
+    plus both sides of the verify join."""
+    sim = simhash_table(df, id_col, text_col).persist()
     pairs = simhash_candidate_pairs(sim)
     s_l = sim.withColumnsRenamed({"id": "id_l", "simhash": "sh_l"})
     s_r = sim.withColumnsRenamed({"id": "id_r", "simhash": "sh_r"})
