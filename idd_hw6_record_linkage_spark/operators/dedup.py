@@ -64,6 +64,22 @@ def ngram_jaccard_expr(l: Column | str, r: Column | str, n: int = 3) -> Column: 
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def hashed_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles hashed to int64. Set Jaccard is
+    hash-invariant (collisions ~n²/2⁻⁶⁴), and computing this ONCE per
+    document beats re-shingling both texts per candidate pair — the
+    verify join then ships compact long arrays, not strings."""
+    return F.array_distinct(
+        F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
+    )
+
+
+def _array_jaccard(ls: Column, rs: Column) -> Column:
+    inter = F.size(F.array_intersect(ls, rs)).cast("double")
+    union = F.size(F.array_union(ls, rs)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -76,13 +92,15 @@ def ngram_jaccard_pairs(
     exact shingle Jaccard ≥ threshold."""
     keys = blocking.key_table(df, id_col, block_key, "ngram")
     pairs = blocking.candidate_pairs_self(keys)
-    attrs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    attrs = df.select(
+        F.col(id_col).alias("id"), hashed_shingles(text_col, n).alias("sh")
+    )
     enriched = (
-        pairs.join(attrs.withColumnsRenamed({"id": "id_l", "t": "t_l"}), "id_l")
-        .join(attrs.withColumnsRenamed({"id": "id_r", "t": "t_r"}), "id_r")
+        pairs.join(attrs.withColumnsRenamed({"id": "id_l", "sh": "sh_l"}), "id_l")
+        .join(attrs.withColumnsRenamed({"id": "id_r", "sh": "sh_r"}), "id_r")
     )
     return (
-        enriched.withColumn("jaccard", ngram_jaccard_expr("t_l", "t_r", n))
+        enriched.withColumn("jaccard", _array_jaccard(F.col("sh_l"), F.col("sh_r")))
         .where(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
@@ -119,13 +137,16 @@ def minhash_dedup_pairs(
     ).persist()
     keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
     pairs = blocking.candidate_pairs_self(keys)
-    attrs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    attrs = df.select(
+        F.col(id_col).alias("id"),
+        hashed_shingles(text_col, shingle_n).alias("sh"),
+    )
     enriched = (
-        pairs.join(attrs.withColumnsRenamed({"id": "id_l", "t": "t_l"}), "id_l")
-        .join(attrs.withColumnsRenamed({"id": "id_r", "t": "t_r"}), "id_r")
+        pairs.join(attrs.withColumnsRenamed({"id": "id_l", "sh": "sh_l"}), "id_l")
+        .join(attrs.withColumnsRenamed({"id": "id_r", "sh": "sh_r"}), "id_r")
     )
     return (
-        enriched.withColumn("jaccard", ngram_jaccard_expr("t_l", "t_r", shingle_n))
+        enriched.withColumn("jaccard", _array_jaccard(F.col("sh_l"), F.col("sh_r")))
         .where(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )

@@ -7,8 +7,10 @@ expressions — no Python on the hot path:
 
 - shingles: word 3-grams of the cleaned text (``sequence`` +
   ``transform`` + ``element_at``), distinct;
-- k minhashes: ``array_min(transform(shingles, s -> xxhash64(s, i)))``
-  for i in 0..k-1 (xxhash64 with a literal seed column per hash fn);
+- k minhashes: ONE xxhash64 pass over the shingles (staged as a
+  column), then k universal-hash functions ``(a_i*h + b_i) mod
+  (2^31-1)`` — multiply-adds over longs instead of k string-hash
+  passes — each reduced with ``array_min``;
 - bands: ``num_bands`` groups of ``rows_per_band`` signature slots,
   each hashed to one block key, ``posexplode`` to (id, band_key) rows.
 
@@ -42,13 +44,57 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """Array of num_hashes minhash values (xxhash64 seeded by index)."""
+# Universal-hash family over one base hash: h_i(x) = (a_i*h(x) + b_i)
+# mod P with P = 2^31-1 (Mersenne). The base xxhash64 runs ONCE per
+# shingle; the 31 derived functions are a multiply-add each — ~30x
+# less string hashing than seeding xxhash64 per function. Constants
+# from a fixed LCG so signatures are deterministic across runs and
+# partitionings. h < 2^31 and a_i < 2^31 keep a_i*h + b_i < 2^63
+# (no ANSI-mode overflow).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _hash_family(n: int) -> list[tuple[int, int]]:
+    state, out = 0x5DEECE66D, []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MERSENNE31 - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def base_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle, folded into [0, 2^31)."""
+    return F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+    )
+
+
+def minhash_signature_from_hashes(hbase: Column, num_hashes: int = 32) -> Column:
+    """Array of num_hashes minhash values over a pre-hashed shingle
+    array (stage `base_hashes` as a real column first so the base pass
+    runs once, not num_hashes times)."""
+    def _fn(a: int, b: int):
+        # closure factory, NOT default args: Spark's transform() reads
+        # the lambda's arity, and `lambda h, a=a, b=b` looks 3-ary.
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+
     sig = [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(hbase, _fn(a, b)))
+        for a, b in _hash_family(num_hashes)
     ]
     return F.array(*sig)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """Array of num_hashes minhash values over a shingle array.
+    Prefer staging :func:`base_hashes` + :func:`
+    minhash_signature_from_hashes` when the expression is reused —
+    inlined here the base hash would be folded into every slot by
+    CollapseProject only if cheap; keep for small/ad-hoc use."""
+    return minhash_signature_from_hashes(base_hashes(shingles), num_hashes)
 
 
 def band_keys(signature: Column, num_bands: int = 8, rows_per_band: int = 4) -> Column:
@@ -87,9 +133,19 @@ def lsh_key_table(
         word_shingles(text_col, shingle_n).alias("shingles"),
         *([] if salt_basis is None else [salt_basis.alias("salt_basis")]),
     )
-    signed = shingled.select(
+    # Stage the base-hash array as its own column: the k derived hash
+    # functions then read longs instead of re-hashing shingle strings
+    # (one string-hash pass total, not k).
+    hashed = shingled.select(
         "id",
-        minhash_signature(F.col("shingles"), num_bands * rows_per_band).alias("sig"),
+        base_hashes(F.col("shingles")).alias("hbase"),
+        *([] if salt_basis is None else ["salt_basis"]),
+    )
+    signed = hashed.select(
+        "id",
+        minhash_signature_from_hashes(
+            F.col("hbase"), num_bands * rows_per_band
+        ).alias("sig"),
         *([] if salt_basis is None else ["salt_basis"]),
     )
     keys = signed.select(
