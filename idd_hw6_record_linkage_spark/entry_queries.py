@@ -201,10 +201,18 @@ Feature semantics shared with the oracle:
 
 
 def rl_pair_features(spark, sf_dir):
+    # token arrays hashed to int64: the pair join ships ~3x fewer
+    # bytes and set Jaccard is hash-invariant, so the oracle (which
+    # compares OUTPUT values, computed over string tokens in DuckDB)
+    # still matches value-exactly.
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.substring("text", 1, 40).alias("t40"),
-        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+        F.array_distinct(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: F.xxhash64(t)
+            )
+        ).alias("toks"),
         F.col("n_chars").cast("double").alias("nc"),
         _block_key().alias("block_key"),
     )
@@ -488,7 +496,11 @@ def rl_cross_source_matches(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.substring("text", 1, 40).alias("t40"),
-        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+        F.array_distinct(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: F.xxhash64(t)
+            )
+        ).alias("toks"),
         F.col("n_chars").cast("double").alias("nc"),
         _block_key().alias("block_key"),
     ).where(F.col("block_key").isNotNull())
