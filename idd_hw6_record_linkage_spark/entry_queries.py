@@ -29,7 +29,10 @@ Operator coverage mapping (SURVEY §2):
 - joins/aggs at TPC-H shape (J1/A6): tpch_agg_pricing, join_topk_customers,
                                      semi_anti_customers
 Rows-only checks (engine-specific hash functions no SQL engine
-reproduces): dedup_minhash_lsh, dedup_simhash, ann_topk_lsh.
+reproduces): dedup_minhash_lsh (xxhash64 base), ann_topk_lsh
+(hyperplane buckets). dedup_simhash IS value-exact: md5-based
+fingerprints reproduce in DuckDB (md5_number_upper) and the 4×16-bit
+rotated-prefix bucketing is complete for hamming ≤ 3.
 """
 
 from __future__ import annotations
@@ -673,8 +676,44 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash hamming-≤3 near-dup pairs — rows-only driver check."""
+    """SimHash hamming-≤3 near-dup pairs — value-exact vs a brute-force
+    DuckDB oracle: token hashes are md5 first-8-bytes little-endian
+    (= DuckDB md5_number_upper), and the 4×16-bit rotated-prefix
+    buckets are a COMPLETE candidate set for hamming ≤ 3 (pigeonhole:
+    d ≤ 3 differing bits can corrupt at most 3 of the 4 disjoint
+    blocks), so bucketed-then-verified equals all-pairs at any scale
+    where no bucket exceeds the size cap."""
     return dedup.simhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_SIMHASH = r"""
+WITH h AS (
+  SELECT doc_id,
+         md5_number_upper(unnest(regexp_split_to_array(trim(text), '\s+'))) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), votes AS (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN range(64) r(j)
+  GROUP BY doc_id, j
+), acc AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(j AS INT))
+                  ELSE 0::HUGEINT END) AS u
+  FROM votes GROUP BY doc_id
+), sh AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN a.u IS NULL THEN 0::HUGEINT
+                   WHEN a.u >= 9223372036854775808::HUGEINT
+                     THEN a.u - 18446744073709551616::HUGEINT
+                   ELSE a.u END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN acc a USING (doc_id)
+)
+SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # --- text analysis -----------------------------------------------------------
@@ -1047,7 +1086,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
-    # dedup_minhash_lsh / dedup_simhash: engine-hash dependent — rows-only
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    # dedup_minhash_lsh: xxhash64-based — rows-only (no SQL engine has it)
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,

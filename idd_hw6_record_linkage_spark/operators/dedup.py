@@ -164,6 +164,11 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     vocabulary repeats heavily, so the memo turns hashing into dict
     lookups. Bit votes run as one numpy matmul-shaped reduction per
     document.
+
+    Little-endian first-8-bytes is DuckDB's md5_number_upper(), which
+    makes the fingerprint reproducible in plain SQL — the driver's
+    dedup_simhash check is value-exact, not rows-only, because of this
+    byte-order choice (any fixed order has identical hash quality).
     """
     import hashlib
 
@@ -172,7 +177,7 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     def tok_hash(tok: str) -> int:
         h = memo.get(tok)
         if h is None:
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
             memo[tok] = h
         return h
 
