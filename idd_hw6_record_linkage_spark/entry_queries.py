@@ -28,11 +28,13 @@ Operator coverage mapping (SURVEY §2):
 - ANN:                               ann_topk_brute
 - joins/aggs at TPC-H shape (J1/A6): tpch_agg_pricing, join_topk_customers,
                                      semi_anti_customers
-Rows-only checks (engine-specific hash functions no SQL engine
-reproduces): dedup_minhash_lsh (xxhash64 base), ann_topk_lsh
-(hyperplane buckets). dedup_simhash IS value-exact: md5-based
-fingerprints reproduce in DuckDB (md5_number_upper) and the 4×16-bit
-rotated-prefix bucketing is complete for hamming ≤ 3.
+Rows-only checks (engine-specific float hashing no SQL engine
+reproduces): ann_topk_lsh (hyperplane buckets) — though its recall is
+oracle-bounded via ann_lsh_recall. dedup_simhash and dedup_minhash_lsh
+ARE value-exact: both use md5-derived hashes that reproduce in DuckDB
+(md5_number_upper), simhash's 4×16-bit rotated-prefix bucketing is
+complete for hamming ≤ 3, and minhash band collision is slot-tuple
+equality over an integer universal-hash family.
 """
 
 from __future__ import annotations
@@ -629,6 +631,7 @@ WITH d AS (
   SELECT doc_id, {_BLOCK_KEY_SQL} AS block_key,
          regexp_split_to_array(trim(text), '\\s+') AS w
   FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
 ), s AS (
   SELECT doc_id, block_key,
          list_distinct(CASE WHEN len(w) >= 3
@@ -668,11 +671,68 @@ FROM p WHERE c >= 0.3
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs — hash functions differ from any SQL
-    engine; rows-only driver check, recall tested in pytest."""
+    """MinHash-LSH near-dup pairs — VALUE-EXACT vs a DuckDB oracle:
+    the base shingle hash is md5 first-8-bytes little-endian (= DuckDB
+    ``md5_number_upper``) folded mod 2^31-1, the 32 derived universal
+    hashes are integer multiply-adds with fixed constants, and band
+    collision is slot-tuple equality — all reproducible in plain SQL.
+    The contract query runs uncapped (exact banded-LSH semantics); the
+    production default keeps the hot-band size cap, whose recall bound
+    is pytest-asserted instead (test_blocking_caps)."""
     return dedup.minhash_dedup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.3
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.3,
+        max_block_size=None, base="md5",
     ).select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_oracle_sql() -> str:
+    from idd_hw6_record_linkage_spark.operators.minhash import _hash_family
+
+    fam = _hash_family(32)
+    sig = ",\n    ".join(
+        f"list_min(list_transform(hb, h -> (h * {a} + {b}) % 2147483647))"
+        for a, b in fam
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 2 + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM d
+), h AS (
+  SELECT doc_id, sh,
+         list_transform(sh, x -> CAST(md5_number_upper(x) % 2147483647
+                                      AS BIGINT)) AS hb
+  FROM s
+), sg AS (
+  SELECT doc_id, [{sig}] AS sig FROM h
+), bands AS (
+  SELECT doc_id,
+         CAST(b AS VARCHAR) || ':' ||
+           array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+  FROM sg CROSS JOIN range(8) r(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.id_l, c.id_r,
+         len(list_intersect(sa.sh, sb.sh))
+           / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jac
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.id_l
+  JOIN s sb ON sb.doc_id = c.id_r
+)
+SELECT id_l, id_r, CAST(round(jac, 6) AS DOUBLE) AS jaccard
+FROM scored WHERE jac >= 0.3
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _minhash_oracle_sql()
 
 
 def dedup_simhash(spark, sf_dir):
@@ -681,9 +741,14 @@ def dedup_simhash(spark, sf_dir):
     (= DuckDB md5_number_upper), and the 4×16-bit rotated-prefix
     buckets are a COMPLETE candidate set for hamming ≤ 3 (pigeonhole:
     d ≤ 3 differing bits can corrupt at most 3 of the 4 disjoint
-    blocks), so bucketed-then-verified equals all-pairs at any scale
-    where no bucket exceeds the size cap."""
-    return dedup.simhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    blocks), so bucketed-then-verified equals all-pairs. The contract
+    query runs UNCAPPED so that completeness holds at every scale
+    factor (a capped bucket would drop hamming-≤3 pairs the oracle
+    keeps — e.g. >cap blank docs all fingerprinting to 0); production
+    keeps the cap, pytest-bounded instead (test_blocking_caps)."""
+    return dedup.simhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_block_size=None
+    )
 
 
 SQL_DEDUP_SIMHASH = r"""
@@ -846,7 +911,8 @@ FROM ranked WHERE rank <= 5
 
 def ann_topk_lsh(spark, sf_dir):
     """Hyperplane-bucketed ANN — rows-only driver check; recall vs the
-    brute-force baseline asserted in pytest."""
+    brute-force baseline asserted in pytest AND oracle-bounded by
+    ann_lsh_recall below."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -854,6 +920,44 @@ def ann_topk_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann.lsh_topk(emb, queries, k=5)
+
+
+def ann_lsh_recall(spark, sf_dir):
+    """ANN LSH cannot be hash-exact in SQL (float-matmul buckets), but
+    its QUALITY is checkable: recall@k of the LSH path against the SQL-
+    reproducible brute-force top-k, thresholded at 0.95. The oracle
+    computes the same row from the DuckDB side (n_queries from data,
+    recall_pass=1 expected), so a recall regression fails the gate."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = ann.brute_force_topk(emb, queries, k=5).select("query_id", "vec_id")
+    # Weakly-clustered 64-dim synthetic vectors need a generous
+    # candidate fraction for exact top-5: 4 planes x 8 tables x 4
+    # probes. Recall dials are per-corpus; the oracle pins THIS
+    # configuration's quality so a pruning regression fails the gate.
+    lsh = ann.lsh_topk(
+        emb, queries, k=5, num_planes=4, num_tables=8, num_probes=4
+    ).select("query_id", "vec_id")
+    hits = brute.join(lsh, ["query_id", "vec_id"], "leftsemi").count()
+    total = brute.count()
+    nq = queries.count()
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(nq, 5, int(recall >= 0.95))],
+        "n_queries bigint, k bigint, recall_pass bigint",
+    )
+
+
+SQL_ANN_LSH_RECALL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
+         AS n_queries,
+       CAST(5 AS BIGINT) AS k,
+       CAST(1 AS BIGINT) AS recall_pass
+"""
 
 
 # --- events: windowed / sessionized time-series evidence ----------------------
@@ -1060,6 +1164,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_lsh_recall": ann_lsh_recall,
     "events_windowed_agg": events_windowed_agg,
     "events_topk_per_user": events_topk_per_user,
     "events_sessionize": events_sessionize,
@@ -1087,13 +1192,14 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
-    # dedup_minhash_lsh: xxhash64-based — rows-only (no SQL engine has it)
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
-    # ann_topk_lsh: hash-bucketed — rows-only
+    # ann_topk_lsh: hash-bucketed — rows-only; quality bounded by:
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
     "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

@@ -114,6 +114,49 @@ def brute_force_topk(
     )
 
 
+def _cap_corpus_buckets(
+    ck: DataFrame,
+    qk: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    max_bucket_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split oversized CORPUS buckets, applying the same split to the
+    query side so the bucket equi-join stays consistent (the ANN
+    analogue of blocking.cap_blocks_pair).
+
+    Tier 1 splits on the quantized-vector basis — a query and its true
+    near neighbors share the basis, so they land in the same sub-bucket
+    and the cap costs almost no recall. Tier 2 catches basis collapse
+    (a hot bucket of near-identical vectors): corpus rows re-split by
+    record id, queries by query id, so each query probes a 1/n_sub
+    uniform sample of the hot bucket — bounded candidates, documented
+    recall trade, same 4x-slack rationale as cap_blocks."""
+    from idd_hw6_record_linkage_spark.operators import blocking as B
+    from idd_hw6_record_linkage_spark.operators.dedup import quantized_vec_basis
+
+    ckb = ck.withColumnRenamed("bucket", "block_key")
+    qkb = qk.withColumnRenamed("bucket", "block_key")
+    sizes = ckb.groupBy("block_key").agg(F.count("*").alias("n"))
+    big = B._oversized(sizes, max_bucket_size)
+    ckb = B._apply_salt(
+        ckb, big, F.xxhash64(quantized_vec_basis("c_vec")), flag="_salted"
+    )
+    qkb = B._apply_salt(qkb, big, F.xxhash64(quantized_vec_basis("q_vec")))
+    sizes2 = (
+        ckb.where(F.col("_salted"))
+        .groupBy("block_key")
+        .agg(F.count("*").alias("n"))
+    )
+    big2 = B._oversized(sizes2, 4 * max_bucket_size, target=max_bucket_size)
+    ckb = B._apply_salt(ckb, big2, F.xxhash64(id_col)).drop("_salted")
+    qkb = B._apply_salt(qkb, big2, F.xxhash64(query_id_col))
+    return (
+        ckb.withColumnRenamed("block_key", "bucket"),
+        qkb.withColumnRenamed("block_key", "bucket"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,6 +168,7 @@ def lsh_topk(
     num_tables: int = 4,
     seed: int = 42,
     num_probes: int = 1,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Bucketed ANN: score only corpus vectors sharing a hyperplane
     bucket with the query in any table (IVF-style candidate pruning).
@@ -135,7 +179,13 @@ def lsh_topk(
     - ``num_probes``: multi-probe — each query additionally probes the
       buckets reached by flipping its lowest-margin hyperplane bits.
       Costs nothing on the corpus side, so it is the preferred dial at
-      scale (corpus keying dominates when |corpus| >> |queries|)."""
+      scale (corpus keying dominates when |corpus| >> |queries|).
+
+    Corpus buckets are size-capped (``max_bucket_size``): with only
+    2^num_planes buckets per table, a clustered corpus concentrates in
+    a few hot buckets and per-query candidate cost degenerates to
+    brute force. Oversized buckets split via _cap_corpus_buckets
+    (quantized-vector basis, id-salt fallback); ``None`` disables."""
 
     def keyed(df: DataFrame, idc: str, probes: int) -> DataFrame:
         out = None
@@ -173,6 +223,13 @@ def lsh_topk(
 
     ck = keyed(corpus, id_col, 1).withColumnRenamed("__v", "c_vec")
     qk = keyed(queries, query_id_col, num_probes).withColumnRenamed("__v", "q_vec")
+    if max_bucket_size is not None:
+        # localCheckpoint: the size count + salt join + candidate join
+        # rescan the corpus key table (hyperplane UDF) several times.
+        ck = ck.localCheckpoint(eager=True)
+        ck, qk = _cap_corpus_buckets(
+            ck, qk, id_col, query_id_col, max_bucket_size
+        )
     cands = ck.join(qk, "bucket").dropDuplicates([query_id_col, id_col])
     scored = cands.withColumn("cosine", sim_cosine_arrays("q_vec", "c_vec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))

@@ -64,13 +64,29 @@ def ngram_jaccard_expr(l: Column | str, r: Column | str, n: int = 3) -> Column: 
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _nonblank(df: DataFrame, text_col: str) -> DataFrame:
+    """Drop NULL/blank-text rows before near-dup keying: a blank doc
+    has no content to be 'near' anything — without this filter two
+    NULL-text docs degenerate-shingle to [hash('')] and emit a
+    jaccard=1.0 pair that no SQL oracle (which strips the NULL
+    shingle) reproduces. Blank docs belong to exact dedup, where
+    identical-empty IS the right answer."""
+    c = F.col(text_col)
+    return df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+
+
 def hashed_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles hashed to int64. Set Jaccard is
     hash-invariant (collisions ~n²/2⁻⁶⁴), and computing this ONCE per
     document beats re-shingling both texts per candidate pair — the
-    verify join then ships compact long arrays, not strings."""
-    return F.array_distinct(
-        F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
+    verify join then ships compact long arrays, not strings.
+    NULL/blank text yields NULL (missing semantics), not [hash('')]."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull() & (F.length(F.trim(c)) > 0),
+        F.array_distinct(
+            F.transform(word_shingles(c, n), lambda s: F.xxhash64(s))
+        ),
     )
 
 
@@ -89,7 +105,9 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs: candidates from a blocking key, verified by
-    exact shingle Jaccard ≥ threshold."""
+    exact shingle Jaccard ≥ threshold. NULL/blank-text rows are
+    excluded (see :func:`_nonblank`)."""
+    df = _nonblank(df, text_col)
     keys = blocking.key_table(df, id_col, block_key, "ngram")
     pairs = blocking.candidate_pairs_self(keys)
     attrs = df.select(
@@ -117,25 +135,42 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     rows_per_band: int = 4,
     shingle_n: int = 3,
-    max_block_size: int = 500,
+    max_block_size: int | None = 500,
+    base: str = "md5",
 ) -> DataFrame:
     """Banded-LSH candidates verified with exact shingle Jaccard —
-    the scale path for unknown-key near-dup discovery.
+    the scale path for unknown-key near-dup discovery. NULL/blank-text
+    rows are excluded (see :func:`_nonblank`).
 
     Band buckets are size-capped: boilerplate-heavy corpora (template
     pages sharing one shingle set) produce hot bands that are quadratic
     bombs at scale. Oversized bands are split by a content-derived salt
     (text prefix) so true near-dups stay co-located; a residual id-salt
-    tier hard-bounds the worst case (see blocking.cap_blocks)."""
-    # persist: the minhash signature (32 hashes over shingle arrays) is
-    # the expensive part, and cap_blocks scans its input several times
-    # (size count, salt join, tier-2 re-check) — without the persist
-    # the signatures would recompute per scan.
+    tier hard-bounds the worst case (see blocking.cap_blocks).
+    ``max_block_size=None`` disables the cap — exact banded-LSH
+    semantics, SQL-reproducible when ``base='md5'`` (the contract
+    queries use that mode; production keeps the cap).
+
+    ``base='md5'`` (default) makes every signature/band/candidate
+    reproducible in DuckDB (md5_number_upper); ``'xxhash64'`` is ~3x
+    cheaper per shingle where no SQL oracle is needed."""
+    df = _nonblank(df, text_col)
+    # localCheckpoint (not persist): the minhash signature (32 hashes
+    # over shingle arrays) is the expensive part, and cap_blocks +
+    # the candidate self-join scan the key table several times — but a
+    # persist() here would leak a CacheManager entry the caller cannot
+    # release. Checkpointed RDD blocks are reference-tracked and freed
+    # by the ContextCleaner when the result goes out of scope.
     keys = lsh_key_table(
         df, id_col, text_col, shingle_n, num_bands, rows_per_band,
-        salt_basis=F.substring(F.trim(F.col(text_col)), 1, 24),
-    ).persist()
-    keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
+        salt_basis=(
+            None if max_block_size is None
+            else F.substring(F.trim(F.col(text_col)), 1, 24)
+        ),
+        base=base,
+    ).localCheckpoint(eager=True)
+    if max_block_size is not None:
+        keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
     pairs = blocking.candidate_pairs_self(keys)
     attrs = df.select(
         F.col(id_col).alias("id"),
@@ -203,7 +238,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    sim_df: DataFrame, prefix_bits: int = 16, max_block_size: int = 500
+    sim_df: DataFrame, prefix_bits: int = 16, max_block_size: int | None = 500
 ) -> DataFrame:
     """Hamming-near candidates: bucket on 4 rotated 16-bit prefixes —
     any pair within hamming distance 3 of each other shares at least
@@ -214,7 +249,10 @@ def simhash_candidate_pairs(
     quadratic; oversized buckets are split with the full simhash as the
     salt basis — exact fingerprint duplicates always stay co-located,
     hamming-1..3 pairs inside a hot bucket may split (bounded,
-    documented recall loss in exchange for the hard quadratic cap)."""
+    documented recall loss in exchange for the hard quadratic cap).
+    ``max_block_size=None`` disables the cap — complete hamming-≤3
+    semantics; the gated contract query uses that mode so the
+    uncapped brute-force oracle stays exact at every scale factor."""
     keys = None
     for blk in range(64 // prefix_bits):
         part = sim_df.select(
@@ -230,10 +268,12 @@ def simhash_candidate_pairs(
             F.col("simhash").cast("string").alias("salt_basis"),
         ).withColumn("pass", F.lit("simhash"))
         keys = part if keys is None else keys.unionByName(part)
-    # persist: cap_blocks scans the key table several times; without
-    # this the simhash UDF would re-run per scan x 4 rotations.
-    keys = keys.persist()
-    keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
+    # localCheckpoint (not persist — see minhash_dedup_pairs): the
+    # self-join and cap_blocks scan the key table several times;
+    # without it the simhash UDF would re-run per scan x 4 rotations.
+    keys = keys.localCheckpoint(eager=True)
+    if max_block_size is not None:
+        keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
     return blocking.candidate_pairs_self(keys)
 
 
@@ -244,13 +284,15 @@ def hamming64_expr(l: Column | str, r: Column | str) -> Column:  # noqa: E741
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_block_size: int | None = 500,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket candidates → hamming verify.
-    The fingerprint table is persisted — it feeds 4 rotated key scans
-    plus both sides of the verify join."""
-    sim = simhash_table(df, id_col, text_col).persist()
-    pairs = simhash_candidate_pairs(sim)
+    The fingerprint table is localCheckpointed — it feeds 4 rotated key
+    scans plus both sides of the verify join, and checkpointed blocks
+    are GC-released (a persist() would leak a CacheManager entry)."""
+    sim = simhash_table(df, id_col, text_col).localCheckpoint(eager=True)
+    pairs = simhash_candidate_pairs(sim, max_block_size=max_block_size)
     s_l = sim.withColumnsRenamed({"id": "id_l", "simhash": "sh_l"})
     s_r = sim.withColumnsRenamed({"id": "id_r", "simhash": "sh_r"})
     return (
@@ -279,6 +321,23 @@ def embedding_dup_pairs_brute(
     )
 
 
+def quantized_vec_basis(vec_col: Column | str, dims: int = 8,
+                        grid: float = 0.25) -> Column:
+    """Content-derived salt basis for embedding buckets: the leading
+    ``dims`` components snapped to a ``grid``. Near-identical vectors
+    (the pairs a near-dup cap must keep co-located) share the basis, so
+    splitting a hot bucket by it costs almost no recall — the same role
+    the title-prefix basis plays for text blocks."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(c, 1, dims),
+            lambda x: F.round(x / F.lit(grid)).cast("long").cast("string"),
+        ),
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -287,9 +346,17 @@ def embedding_dup_pairs_lsh(
     num_planes: int = 16,
     num_tables: int = 4,
     seed: int = 42,
+    max_block_size: int | None = 500,
 ) -> DataFrame:
     """Scale path: random-hyperplane (sign) LSH buckets per table →
-    within-bucket candidates → exact cosine verify."""
+    within-bucket candidates → exact cosine verify.
+
+    Buckets are size-capped like the minhash/simhash paths: real
+    embedding corpora cluster hard (boilerplate pages, near-constant
+    embeddings), and with only 2^num_planes buckets per table a hot
+    hyperplane bucket is a quadratic bomb at 100x scale. Oversized
+    buckets split on the quantized-vector basis (true near-dups stay
+    co-located); the id-salt second tier hard-bounds collapse."""
     from idd_hw6_record_linkage_spark.operators.ann import hyperplane_bucket_udf
 
     keys = None
@@ -302,8 +369,14 @@ def embedding_dup_pairs_lsh(
                 hyperplane_bucket_udf(F.col(vec_col), F.lit(t), F.lit(num_planes),
                                       F.lit(seed)),
             ).alias("block_key"),
+            quantized_vec_basis(vec_col).alias("salt_basis"),
         ).withColumn("pass", F.lit("hplsh"))
         keys = part if keys is None else keys.unionByName(part)
+    if max_block_size is not None:
+        # localCheckpoint: cap_blocks + the self-join rescan the key
+        # table; without it the hyperplane UDF re-runs per scan.
+        keys = keys.localCheckpoint(eager=True)
+        keys = blocking.cap_blocks(keys, max_block_size, salt_col="salt_basis")
     pairs = blocking.candidate_pairs_self(keys)
     a = df.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l"))
     b = df.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r"))

@@ -72,6 +72,31 @@ def base_hashes(shingles: Column) -> Column:
     )
 
 
+def _md5_le64(s: Column) -> Column:
+    """First 8 md5 bytes as a little-endian uint64 — exactly DuckDB's
+    ``md5_number_upper``, built natively from the md5 hex string
+    (reverse the 8 leading byte-pairs, then base-16 → base-10; conv
+    output exceeds signed-long range, so go through decimal(20,0))."""
+    hexs = F.md5(s)
+    rev = F.concat(*[F.substring(hexs, 15 - 2 * i, 2) for i in range(8)])
+    return F.conv(rev, 16, 10).cast("decimal(20,0)")
+
+
+def base_hashes_md5(shingles: Column) -> Column:
+    """One md5 per shingle (little-endian first-8-bytes = DuckDB
+    ``md5_number_upper``), folded into [0, 2^31). ~3x the per-shingle
+    cost of :func:`base_hashes`, but every downstream minhash value —
+    and therefore every band key and candidate pair — is reproducible
+    in plain SQL, which upgrades the driver's dedup_minhash_lsh check
+    from rows-only to value-exact. Use the xxhash64 basis where no SQL
+    oracle is required (e.g. the flagship pipeline's LSH blocking
+    pass)."""
+    return F.transform(
+        shingles,
+        lambda s: F.pmod(_md5_le64(s), F.lit(_MERSENNE31)).cast("long"),
+    )
+
+
 def minhash_signature_from_hashes(hbase: Column, num_hashes: int = 32) -> Column:
     """Array of num_hashes minhash values over a pre-hashed shingle
     array (stage `base_hashes` as a real column first so the base pass
@@ -117,6 +142,7 @@ def lsh_key_table(
     num_bands: int = 8,
     rows_per_band: int = 4,
     salt_basis: Column | None = None,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """(id, block_key, pass='lsh') rows — one per (record, band).
 
@@ -136,9 +162,10 @@ def lsh_key_table(
     # Stage the base-hash array as its own column: the k derived hash
     # functions then read longs instead of re-hashing shingle strings
     # (one string-hash pass total, not k).
+    base_fn = {"xxhash64": base_hashes, "md5": base_hashes_md5}[base]
     hashed = shingled.select(
         "id",
-        base_hashes(F.col("shingles")).alias("hbase"),
+        base_fn(F.col("shingles")).alias("hbase"),
         *([] if salt_basis is None else ["salt_basis"]),
     )
     signed = hashed.select(

@@ -111,6 +111,81 @@ def test_minhash_dedup_hot_band_bounded_with_recall(spark):
     assert _max_block(capped) <= 40
 
 
+def _hot_cluster_embeddings():
+    """220 vectors dominated by one direction (=> they share every
+    hyperplane bucket in every table — a guaranteed hot bucket), with
+    distinct quantized bases on the leading dims so tier-1 salting can
+    spread them. 10 planted near-identical pairs perturb a dim OUTSIDE
+    the basis window so each pair shares its basis (stays co-located
+    under the cap)."""
+    rows = []
+    for i in range(200):
+        v = [10.0] * 16
+        for d in range(8):
+            v[d] += 0.5 if (i >> d) & 1 else -0.5
+        rows.append((i, v))
+    for j in range(10):
+        v = [10.0] * 16
+        for d in range(8):
+            v[d] += 0.5 if ((200 + j) >> d) & 1 else -0.5
+        w = list(v)
+        w[12] += 0.01
+        rows.append((1000 + 2 * j, v))
+        rows.append((1001 + 2 * j, w))
+    return rows
+
+
+def test_embedding_lsh_hot_bucket_bounded_with_recall(spark):
+    # All 220 vectors land in ONE hyperplane bucket per table. The cap
+    # must bound the quadratic candidate set while keeping the planted
+    # same-basis pairs (round-2 advice: this path skipped cap_blocks).
+    emb = spark.createDataFrame(
+        _hot_cluster_embeddings(), "vec_id long, embedding array<double>"
+    )
+    n = emb.count()
+    # threshold -1 keeps every candidate — counts the candidate set
+    capped = dedup.embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=-1.0, max_block_size=20
+    )
+    uncapped = dedup.embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=-1.0, max_block_size=None
+    )
+    assert uncapped.count() == n * (n - 1) / 2  # hot bucket is real
+    # quadratic bounded: ceil(220/20)=11 sub-blocks ideally cut pairs
+    # 11x; ~200 distinct bases hashed over 11 slots leave real
+    # imbalance, so assert the conservative 3x bound
+    assert capped.count() < n * (n - 1) / 2 / 3
+    # recall: near-identical pairs (cosine ~1) survive the cap because
+    # they share the quantized-vector salt basis
+    found = {
+        (r.id_l, r.id_r)
+        for r in dedup.embedding_dup_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.9999, max_block_size=20
+        ).collect()
+    }
+    for j in range(10):
+        assert (1000 + 2 * j, 1001 + 2 * j) in found
+
+
+def test_ann_lsh_hot_bucket_capped_keeps_near_neighbor(spark):
+    # Same hot cluster as corpus; 5 planted-pair left vectors as
+    # queries. With the corpus bucket capped far below the cluster
+    # size, each query must still find its near-identical partner
+    # (shared quantized basis => same sub-bucket).
+    from idd_hw6_record_linkage_spark.operators import ann
+
+    emb = spark.createDataFrame(
+        _hot_cluster_embeddings(), "vec_id long, embedding array<double>"
+    )
+    queries = emb.where(F.col("vec_id").isin([1000, 1002, 1004, 1006, 1008])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann.lsh_topk(emb, queries, k=2, max_bucket_size=20)
+    top = {(r.query_id, r.vec_id) for r in got.collect()}
+    for q in [1000, 1002, 1004, 1006, 1008]:
+        assert (q, q + 1) in top, f"query {q} lost its near-identical partner"
+
+
 def test_simhash_candidates_capped_with_exact_dup_recall(spark):
     # 300 fingerprints sharing the low 16 bits (hot sh0 bucket) but
     # distinct overall; 5 planted exact-duplicate fingerprint pairs.

@@ -111,6 +111,53 @@ def test_ann_topk_lsh_recall(spark):
     assert top1 == {0: 0, 1: 1, 2: 2}
 
 
+def test_blank_text_rows_emit_no_near_dup_pairs(spark):
+    """NULL/blank texts must not near-dup-match each other: without the
+    guard they degenerate-shingle to [hash('')] and emit jaccard=1.0
+    pairs that the SQL oracles (which strip the NULL shingle) reject."""
+    rows = [
+        (0, "a real document with several words of content here"),
+        (1, "a real document with several words of content there"),
+        (2, None),
+        (3, None),
+        (4, ""),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    ngram = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", F.lit("k"), threshold=0.01
+    )
+    minhash = dedup.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.01)
+    blank_ids = {2, 3, 4, 5}
+    for out in (ngram, minhash):
+        got = {(r.id_l, r.id_r) for r in out.collect()}
+        assert (0, 1) in got
+        assert not any(l in blank_ids or r in blank_ids for l, r in got), got
+    # hashed_shingles itself yields NULL (missing), not [hash('')]
+    sh = df.select(dedup.hashed_shingles("text").alias("sh")).collect()
+    assert sh[2]["sh"] is None and sh[4]["sh"] is None
+
+
+def test_dedup_paths_leave_no_cached_plans(spark):
+    """Round-2 advice: persist() without unpersist leaked CacheManager
+    entries across dedup calls. The paths now use localCheckpoint
+    (reference-tracked, GC-released) — the session cache must stay
+    empty after running every dedup family member."""
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with shared words alpha beta gamma") for i in range(30)],
+        "doc_id int, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(20)],
+        "vec_id int, embedding array<double>",
+    )
+    dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    dedup.simhash_dedup_pairs(docs, "doc_id", "text").count()
+    dedup.embedding_dup_pairs_lsh(emb, "vec_id", "embedding", 0.99).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_ann_multiprobe_recall_dial(spark):
     """Multi-probe is a documented recall dial: on planted near-
     neighbors (cosine ~0.95 — the regime hyperplane LSH targets),
