@@ -50,6 +50,12 @@ class PipelineConfig:
     use_b1: bool = True  # domain key (brand analogue)
     use_b2: bool = True  # domain + title-prefix key (brand+model analogue)
     use_lsh: bool = True
+    # "rule": fixed weighted-mean scorer (default). "lr": train a
+    # pyspark.ml LogisticRegression on labeled pairs per run — the
+    # reference's flagship lifecycle (record_linkage.py:461-505 fits LR
+    # on the comparator features each run); requires a labeled_pairs
+    # DataFrame (url_l, url_r, label) passed to run()/run_in_memory.
+    scorer: str = "rule"
     lsh_bands: int = 8
     lsh_rows: int = 4
     max_block_size: int = 200
@@ -156,8 +162,34 @@ def block_keys_plan(records: DataFrame, cfg: "PipelineConfig") -> DataFrame:
     return keys
 
 
+def _scored_features(feats: DataFrame, cfg: "PipelineConfig",
+                     labeled_pairs: DataFrame | None) -> DataFrame:
+    """Apply the configured scorer to a feature matrix: the rule
+    scorer's weighted mean, or a per-run LogisticRegression fit on
+    labeled pairs (M1/M2) — identical downstream threshold-with-
+    fallback semantics either way."""
+    if cfg.scorer == "lr":
+        if labeled_pairs is None:
+            raise ValueError(
+                "scorer='lr' requires labeled_pairs (url_l, url_r, label)"
+            )
+        labels = labeled_pairs.select(
+            F.col("url_l").alias("id_l"),
+            F.col("url_r").alias("id_r"),
+            "label",
+        )
+        assembler, model = scoring.fit_logistic_regression(
+            feats, labels, cfg.comparator_config
+        )
+        return scoring.predict_probability(feats, assembler, model)
+    if cfg.scorer != "rule":
+        raise ValueError(f"unknown scorer: {cfg.scorer!r}")
+    return scoring.score(feats, cfg.comparator_config)
+
+
 def run_in_memory(spark: SparkSession, pages: DataFrame,
-                  cfg: "PipelineConfig | None" = None) -> dict:
+                  cfg: "PipelineConfig | None" = None,
+                  labeled_pairs: DataFrame | None = None) -> dict:
     """Compose the full linkage DAG lazily (no parquet stage
     boundaries) — for small inputs, smoke checks, and plan inspection."""
     cfg = cfg or PipelineConfig(workdir="/tmp/_unused", run_id="mem")
@@ -174,19 +206,25 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
     # persist: threshold_with_fallback's existence probe executes the
     # scoring plan once; without the persist, clusters/consumers would
     # re-run the whole Arrow-UDF scoring pass a second time.
-    scored = scoring.score(feats, cfg.comparator_config).persist()
+    scored = _scored_features(feats, cfg, labeled_pairs).persist()
     edges, _ = scoring.threshold_with_fallback(
         scored, cfg.score_threshold, cfg.fallback_threshold
     )
     clusters = clusters_from_edges(
         edges.select("id_l", "id_r"), records.select("url"), id_col="url"
     )
+    # The persisted stages are intentionally session-scoped (the caller
+    # keeps using records/pairs/scored); "release" unpersists them all
+    # once the caller is done — long-lived sessions running many
+    # pipelines should call it to avoid cache accumulation.
+    handles = [records, raw_keys, keys, pairs, scored]
     return {
         "records": records,
         "pairs": pairs,
         "scored": scored,
         "edges": edges,
         "clusters": clusters,
+        "release": lambda: [h.unpersist() for h in handles],
     }
 
 
@@ -195,6 +233,7 @@ def link_sources(
     pages_l: DataFrame,
     pages_r: DataFrame,
     cfg: "PipelineConfig | None" = None,
+    labeled_pairs: DataFrame | None = None,
 ) -> dict:
     """Two-source record linkage — the reference's primary lifecycle
     (record_linkage.py:588-693: Craigslist × US Used Cars): blocking
@@ -220,10 +259,11 @@ def link_sources(
     feats = scoring.compute_features_two(
         pairs, rec_l, rec_r, cfg.comparator_config, "url"
     )
-    scored = scoring.score(feats, cfg.comparator_config)
+    scored = _scored_features(feats, cfg, labeled_pairs)
     matches, used = scoring.threshold_with_fallback(
         scored, cfg.score_threshold, cfg.fallback_threshold
     )
+    handles = [rec_l, rec_r, keys_l, keys_r, pairs]
     return {
         "records_l": rec_l,
         "records_r": rec_r,
@@ -231,6 +271,7 @@ def link_sources(
         "scored": scored,
         "matches": matches,
         "threshold_used": used,
+        "release": lambda: [h.unpersist() for h in handles],
     }
 
 
@@ -317,12 +358,13 @@ class LinkagePipeline:
 
         return self._run_stage("pairs", build)
 
-    def score(self, records: DataFrame, pairs: DataFrame) -> DataFrame:
+    def score(self, records: DataFrame, pairs: DataFrame,
+              labeled_pairs: DataFrame | None = None) -> DataFrame:
         def build():
             feats = scoring.compute_features(
                 pairs, records, self.cfg.comparator_config, id_col="url"
             )
-            return scoring.score(feats, self.cfg.comparator_config)
+            return _scored_features(feats, self.cfg, labeled_pairs)
 
         return self._run_stage("score", build)
 
@@ -353,7 +395,7 @@ class LinkagePipeline:
     ) -> dict:
         records = self.normalize(pages)
         pairs = self.pairs(records)
-        scored = self.score(records, pairs)
+        scored = self.score(records, pairs, labeled_pairs)
         edges = self.edges(scored)
         clusters = self.cluster(records, edges)
 
@@ -383,8 +425,11 @@ def dedupe_pages(
     spark: SparkSession,
     pages: DataFrame,
     workdir: str,
+    labeled_pairs: DataFrame | None = None,
     **cfg_kwargs,
 ) -> dict:
-    """One-call flagship API: pages table in → clusters + metrics out."""
+    """One-call flagship API: pages table in → clusters + metrics out.
+    Pass ``scorer="lr"`` + ``labeled_pairs`` for the reference's
+    train-LR-per-run lifecycle instead of the rule scorer."""
     cfg = PipelineConfig(workdir=workdir, **cfg_kwargs)
-    return LinkagePipeline(spark, cfg).run(pages)
+    return LinkagePipeline(spark, cfg).run(pages, labeled_pairs=labeled_pairs)

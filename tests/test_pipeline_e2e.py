@@ -86,3 +86,33 @@ def test_resume_skips_completed_stages(tmp_path, spark, raw):
     # resumed run adds no new metric rows (all stages skipped)
     assert m2.count() == n_rows_1
     assert res2["clusters"].count() == 200
+
+
+def test_pipeline_lr_scorer_f1(tmp_path, spark, raw):
+    """M1/M2 wired into the flagship lifecycle (the reference trains
+    LR per run, record_linkage.py:461-505): scorer='lr' + labeled
+    pairs must clear the same cluster-F1 bar through the unchanged
+    threshold-with-fallback path."""
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    truth = G.labeled_pairs(raw).cache()
+    expected = G.expected_clusters(raw)
+
+    cfg = PipelineConfig(workdir=str(tmp_path / "lr"), run_id="lr1",
+                         scorer="lr")
+    res = LinkagePipeline(spark, cfg).run(
+        pages, labeled_pairs=truth, expected_clusters=expected
+    )
+    prf = res["cluster_prf1"]
+    assert prf.f1 >= 0.99, (prf.precision, prf.recall, prf.f1)
+    # LR scores are probabilities
+    mm = res["scored"].agg(F.min("score"), F.max("score")).collect()[0]
+    assert mm[0] >= 0.0 and mm[1] <= 1.0
+
+
+def test_lr_scorer_requires_labels(spark, raw):
+    from idd_hw6_record_linkage_spark.plans.pipeline import run_in_memory
+
+    pages = raw.select("url", "warc_ts", "html", "text", "lang").limit(50)
+    cfg = PipelineConfig(workdir="/tmp/_unused", scorer="lr")
+    with pytest.raises(ValueError, match="labeled_pairs"):
+        run_in_memory(spark, pages, cfg)["scored"].count()
