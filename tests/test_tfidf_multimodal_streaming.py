@@ -125,3 +125,72 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     # value parity on the invariant column
     g = got.select("url", "text_clean").exceptAll(batch.select("url", "text_clean"))
     assert g.count() == 0
+
+
+def test_incremental_candidates_stream_batch_join(spark, tmp_path):
+    """Stream-batch incremental linkage: new-file arrivals must produce
+    EXACTLY the new-vs-historical cross candidates (same salted keys as
+    a batch-side computation), and a checkpoint restart must be
+    idempotent (no re-emitted pairs)."""
+    from idd_hw6_record_linkage_spark.operators import blocking
+    from idd_hw6_record_linkage_spark.plans.pipeline import (
+        PipelineConfig,
+        block_keys_plan,
+        normalize_plan,
+    )
+    from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+    from idd_hw6_record_linkage_spark.streaming import ingest
+
+    raw = generate_raw(spark, 60, partitions=2).cache()
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    hist = pages.where(F.xxhash64("url") % 3 != 0)
+    new1 = pages.where((F.xxhash64("url") % 3 == 0) & (F.xxhash64("url") % 2 == 0))
+    new2 = pages.where((F.xxhash64("url") % 3 == 0) & (F.xxhash64("url") % 2 != 0))
+    cfg = PipelineConfig(workdir=str(tmp_path / "wd"), use_lsh=False)
+
+    index_keys, big = ingest.build_key_index(normalize_plan(hist), cfg)
+    index_keys = index_keys.cache()
+    big = big.cache()
+
+    def expected(new_pages):
+        skeys = blocking._apply_salt(
+            block_keys_plan(normalize_plan(new_pages), cfg), big,
+            F.xxhash64("salt_basis"),
+        )
+        out = (
+            skeys.select(F.col("id").alias("id_new"), "block_key")
+            .join(
+                index_keys.select(F.col("id").alias("id_old"), "block_key"),
+                "block_key",
+            )
+            .where(F.col("id_new") != F.col("id_old"))
+            .select("id_new", "id_old")
+            .distinct()
+        )
+        return {(r.id_new, r.id_old) for r in out.collect()}
+
+    src = str(tmp_path / "new_src")
+    out = str(tmp_path / "cand_out")
+    ckpt = str(tmp_path / "ckpt")
+    new1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = ingest.read_pages_stream(spark, src)
+        cand = ingest.incremental_candidates(stream, index_keys, big, cfg)
+        q = ingest.run_to_parquet(cand, out, ckpt)
+        q.awaitTermination(120)
+        return {(r.id_new, r.id_old) for r in spark.read.parquet(out).collect()}
+
+    got1 = drain()
+    exp1 = expected(new1)
+    assert exp1, "fixture must produce cross candidates"
+    assert got1 == exp1
+
+    # restart with nothing new: idempotent, no re-emitted pairs
+    assert drain() == exp1
+
+    # second arrival: output grows by exactly new2's cross candidates
+    new2.coalesce(1).write.mode("append").parquet(src)
+    got2 = drain()
+    assert got2 == exp1 | expected(new2)
+    assert expected(new2) - exp1, "second file should add candidates"
