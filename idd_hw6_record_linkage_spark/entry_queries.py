@@ -672,10 +672,11 @@ FROM p WHERE c >= 0.3
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs — VALUE-EXACT vs a DuckDB oracle:
-    the base shingle hash is md5 first-8-bytes little-endian (= DuckDB
-    ``md5_number_upper``) folded mod 2^31-1, the 32 derived universal
-    hashes are integer multiply-adds with fixed constants, and band
-    collision is slot-tuple equality — all reproducible in plain SQL.
+    the base shingle hash is the first 60 md5 bits (DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``) folded mod 2^31-1, the
+    32 derived universal hashes are integer multiply-adds with fixed
+    constants, and band collision is slot-tuple equality — all
+    reproducible in plain SQL.
     The contract query runs uncapped (exact banded-LSH semantics); the
     production default keeps the hot-band size cap, whose recall bound
     is pytest-asserted instead (test_blocking_caps)."""
@@ -706,8 +707,8 @@ WITH d AS (
   FROM d
 ), h AS (
   SELECT doc_id, sh,
-         list_transform(sh, x -> CAST(md5_number_upper(x) % 2147483647
-                                      AS BIGINT)) AS hb
+         list_transform(sh, x -> CAST(('0x' || substr(md5(x), 1, 15))
+                                      AS BIGINT) % 2147483647) AS hb
   FROM s
 ), sg AS (
   SELECT doc_id, [{sig}] AS sig FROM h

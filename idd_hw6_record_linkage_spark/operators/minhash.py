@@ -72,28 +72,24 @@ def base_hashes(shingles: Column) -> Column:
     )
 
 
-def _md5_le64(s: Column) -> Column:
-    """First 8 md5 bytes as a little-endian uint64 — exactly DuckDB's
-    ``md5_number_upper``, built natively from the md5 hex string
-    (reverse the 8 leading byte-pairs, then base-16 → base-10; conv
-    output exceeds signed-long range, so go through decimal(20,0))."""
-    hexs = F.md5(s)
-    rev = F.concat(*[F.substring(hexs, 15 - 2 * i, 2) for i in range(8)])
-    return F.conv(rev, 16, 10).cast("decimal(20,0)")
-
-
 def base_hashes_md5(shingles: Column) -> Column:
-    """One md5 per shingle (little-endian first-8-bytes = DuckDB
-    ``md5_number_upper``), folded into [0, 2^31). ~3x the per-shingle
-    cost of :func:`base_hashes`, but every downstream minhash value —
-    and therefore every band key and candidate pair — is reproducible
-    in plain SQL, which upgrades the driver's dedup_minhash_lsh check
-    from rows-only to value-exact. Use the xxhash64 basis where no SQL
-    oracle is required (e.g. the flagship pipeline's LSH blocking
-    pass)."""
+    """One md5 per shingle — the first 15 hex chars (60 bits) parsed as
+    an integer, folded into [0, 2^31). Costlier than xxhash64, but
+    every downstream minhash value — and therefore every band key and
+    candidate pair — is reproducible in plain SQL (DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``), which upgrades the
+    driver's dedup_minhash_lsh check from rows-only to value-exact.
+    60 bits keep ``conv`` inside long range (no decimal path — a
+    little-endian full-uint64 variant needed 8 substrings + a
+    decimal(20,0) pmod and measured ~1.6x slower end-to-end). Use the
+    xxhash64 basis where no SQL oracle is required (e.g. the flagship
+    pipeline's LSH blocking pass)."""
     return F.transform(
         shingles,
-        lambda s: F.pmod(_md5_le64(s), F.lit(_MERSENNE31)).cast("long"),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_MERSENNE31),
+        ),
     )
 
 

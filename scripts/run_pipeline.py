@@ -37,6 +37,12 @@ def main() -> None:
     p.add_argument("--fallback-threshold", type=float, default=0.3)
     p.add_argument("--max-block-size", type=int, default=200)
     p.add_argument("--no-lsh", action="store_true")
+    p.add_argument("--scorer", choices=["rule", "lr"], default="rule",
+                   help="'lr' trains LogisticRegression per run on "
+                        "--labeled-pairs (url_l, url_r, label parquet)")
+    p.add_argument("--labeled-pairs",
+                   help="labeled pairs parquet for --scorer lr and/or "
+                        "edge-level P/R/F1 evaluation")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,8 +71,12 @@ def main() -> None:
         fallback_threshold=args.fallback_threshold,
         max_block_size=args.max_block_size,
         use_lsh=not args.no_lsh,
+        scorer=args.scorer,
     )
-    res = LinkagePipeline(spark, cfg).run(pages)
+    labeled = spark.read.parquet(args.labeled_pairs) if args.labeled_pairs else None
+    if args.scorer == "lr" and labeled is None:
+        raise SystemExit("--scorer lr requires --labeled-pairs")
+    res = LinkagePipeline(spark, cfg).run(pages, labeled_pairs=labeled)
     summary = {
         "run_id": args.run_id,
         "records": res["records"].count(),
@@ -74,6 +84,9 @@ def main() -> None:
         "edges": res["edges"].count(),
         "clusters": res["clusters"].select("entity_id").distinct().count(),
     }
+    if labeled is not None:
+        prf = res["edge_prf1"]
+        summary["edge_f1"] = round(prf.f1, 6)
     print(json.dumps(summary))
     spark.stop()
 
