@@ -23,7 +23,9 @@ Operator coverage mapping (SURVEY §2):
 - column profile (A1):               profile_documents
 - dedup family:                      dedup_exact, dedup_ngram_jaccard,
                                      dedup_embedding_cosine
-- text analysis:                     text_token_count, text_quality,
+- text analysis:                     text_token_count,
+                                     text_token_count_bpe,
+                                     text_stopword_ratio, text_quality,
                                      text_lang_id, text_fingerprint
 - ANN:                               ann_topk_brute
 - joins/aggs at TPC-H shape (J1/A6): tpch_agg_pricing, join_topk_customers,
@@ -799,6 +801,48 @@ FROM documents
 """
 
 
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-ish token count (GPT-2-style pre-tokenizer regex, RE2-safe
+    so DuckDB runs the IDENTICAL pattern — verified token-for-token)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TA.bpe_token_count_expr("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT_BPE = (
+    "SELECT doc_id, CAST(CASE WHEN text IS NULL THEN 0 ELSE "
+    "len(regexp_extract_all(text, '" + TA.BPE_PRETOKEN_RE.replace("'", "''")
+    + "')) END AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+
+def text_stopword_ratio(spark, sf_dir):
+    """Stopword ratio (en) — the third classic cheap quality signal
+    next to length band and punctuation ratio."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(TA.stopword_ratio_expr("text"), 6).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_STOPWORD_RATIO = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(round(CASE WHEN len(toks) > 0
+       THEN len(list_filter(toks, x -> list_contains(
+              {list(TA.STOPWORDS["en"])}, lower(x))))
+            / CAST(len(toks) AS DOUBLE)
+       ELSE 0.0 END, 6) AS DOUBLE) AS stopword_ratio
+FROM t
+"""
+
+
 def text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -1160,6 +1204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "text_token_count": text_token_count,
+    "text_token_count_bpe": text_token_count_bpe,
+    "text_stopword_ratio": text_stopword_ratio,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -1195,6 +1241,8 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
+    "text_stopword_ratio": SQL_TEXT_STOPWORD_RATIO,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,

@@ -42,6 +42,27 @@ def token_count_expr(col: Column | str) -> Column:
     return F.size(tokens_expr(col))
 
 
+# GPT-2-style pre-tokenizer pattern, made lookahead-free (RE2 has no
+# lookaround) so the SAME pattern runs token-for-token identically on
+# Java regex (Spark) and RE2 (DuckDB) — verified across contractions,
+# unicode letters/digits, punctuation runs and mixed whitespace. The
+# trailing-space grouping of the original (`\s+(?!\S)`) collapses into
+# plain `\s+`; everything else matches the published tokenizer's
+# pre-split behavior.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_expr(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex (letters / numbers / punctuation runs / whitespace, with
+    English contractions split) — the cheap LLM-token estimate a
+    training-data pipeline budgets with. NULL text counts 0."""
+    c = _c(col)
+    return F.when(c.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+    )
+
+
 def punct_ratio_expr(col: Column | str) -> Column:
     """Fraction of characters that are sentence punctuation."""
     c = _c(col)

@@ -58,3 +58,33 @@ def test_empty_string_text_is_missing_not_equal(spark):
     # two empty texts share domain+lang blocks but must not edge-match:
     # empty -> NULL text_cmp -> comparators score 0
     assert res["edges"].count() == 0
+
+
+def test_bpe_token_count_and_stopword_ratio_edges(spark):
+    """BPE-ish counter and stopword ratio on null/blank/unicode edges:
+    NULL text counts 0 tokens and ratio 0.0 (missing, not an error);
+    contractions split per the GPT-2-style pre-tokenizer."""
+    from idd_hw6_record_linkage_spark.functions import text_analysis as TA
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "don't"),            # don | 't  -> 2 BPE tokens
+        (4, "the cat and the dog run"),  # 3/6 stopwords
+        (5, "café 東京 42km"),
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {
+        r.i: (r.n, r.ratio)
+        for r in df.select(
+            "i",
+            TA.bpe_token_count_expr("text").alias("n"),
+            F.round(TA.stopword_ratio_expr("text"), 6).alias("ratio"),
+        ).collect()
+    }
+    assert got[0] == (0, 0.0)
+    assert got[1] == (0, 0.0)
+    assert got[3][0] == 2
+    assert got[4][1] == 0.5
+    assert got[5][0] >= 4  # café | <sp>東京 | <sp>42 | km
