@@ -66,7 +66,11 @@ SCALE_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "2700"))
 # job itself generates (its thread count) by more than this margin —
 # the JVM + Python workers + GC account for a few points above `cpus`;
 # anything beyond that is neighbor load stealing the job's cores.
-STORM_MARGIN = float(os.environ.get("SPARK_GRAFT_STORM_MARGIN", "5"))
+# Calibrated on observed end-of-run loads: legitimate local[16] runs
+# end at 19.5-21.6 (16 threads + GC/OS), real storms at 22.6-23.3 —
+# margin 6 (threshold 22 at HI) separates them; 5 misclassified
+# marginally-fine runs as dirty.
+STORM_MARGIN = float(os.environ.get("SPARK_GRAFT_STORM_MARGIN", "6"))
 
 HEADLINE_QUERIES = [
     "rl_candidate_pairs",
@@ -287,10 +291,15 @@ def main() -> None:
         if valid:
             e, h, l = max(valid, key=lambda t: t[0])
             return e, h, l, True
-        # no clean round: fall back to best-per-level (conservative —
-        # a deflated LO would inflate a pair ratio, best-LO cannot)
-        h = max((h for h, _ in rounds), key=lambda r: r["pairs_scored_per_sec"])
-        l = max((l for _, l in rounds), key=lambda r: r["pairs_scored_per_sec"])
+        # no clean round: fall back to best-per-level, preferring the
+        # uncontaminated runs of each level when any exist (conservative
+        # — a deflated LO would inflate a pair ratio, best-LO cannot)
+        his = [h for h, _ in rounds]
+        los = [l for _, l in rounds]
+        his = [h for h in his if not contaminated(h)] or his
+        los = [l for l in los if not contaminated(l)] or los
+        h = max(his, key=lambda r: r["pairs_scored_per_sec"])
+        l = max(los, key=lambda r: r["pairs_scored_per_sec"])
         return pair_eff(h, l), h, l, False
 
     gates = [wait_for_quiet()]
@@ -339,6 +348,12 @@ def main() -> None:
                     ],
                     "round_efficiencies": [
                         round(pair_eff(h, l), 4) for h, l in rounds
+                    ],
+                    f"local{SCALE_LO}_scoring_sec": [
+                        l["scoring_sec"] for _, l in rounds
+                    ],
+                    f"local{SCALE_HI}_scoring_sec": [
+                        h["scoring_sec"] for h, _ in rounds
                     ],
                     "gate_load_1m": [round(g, 2) for g in gates],
                     "selected_round_clean": clean,
