@@ -22,7 +22,9 @@ Operator coverage mapping (SURVEY §2):
 - TF-IDF cosine comparator (C7):     pair_tfidf_cosine
 - column profile (A1):               profile_documents
 - dedup family:                      dedup_exact, dedup_ngram_jaccard,
-                                     dedup_embedding_cosine
+                                     dedup_embedding_cosine,
+                                     dedup_minhash_lsh, dedup_simhash,
+                                     dedup_doc_clusters
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -738,6 +740,46 @@ FROM scored WHERE jac >= 0.3
 SQL_DEDUP_MINHASH_LSH = _minhash_oracle_sql()
 
 
+def dedup_doc_clusters(spark, sf_dir):
+    """The dedup DELIVERABLE: near-dup PAIRS resolved into entity
+    clusters. MinHash-LSH pairs (uncapped, SQL-exact md5 basis) feed
+    the large-star/small-star CC loop; every doc gets its cluster
+    representative (min doc_id — keep that row, drop the rest). The
+    DuckDB oracle reproduces the fixpoint with a recursive reachability
+    CTE over the identical edge set — value-exact, numeric min."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.3,
+        max_block_size=None, base="md5",
+    )
+    out = clusters_from_edges(
+        pairs.select("id_l", "id_r"), docs, id_col="doc_id"
+    )
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("entity_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _minhash_clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT id_l AS u, id_r AS v FROM ({SQL_DEDUP_MINHASH_LSH})
+), e AS (
+  SELECT u, v FROM base UNION ALL SELECT v, u FROM base
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+SQL_DEDUP_DOC_CLUSTERS = _minhash_clusters_oracle_sql()
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash hamming-≤3 near-dup pairs — value-exact vs a brute-force
     DuckDB oracle: token hashes are md5 first-8-bytes little-endian
@@ -1202,6 +1244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_doc_clusters": dedup_doc_clusters,
     "dedup_simhash": dedup_simhash,
     "text_token_count": text_token_count,
     "text_token_count_bpe": text_token_count_bpe,
@@ -1240,6 +1283,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_doc_clusters": SQL_DEDUP_DOC_CLUSTERS,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
     "text_stopword_ratio": SQL_TEXT_STOPWORD_RATIO,

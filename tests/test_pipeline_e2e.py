@@ -116,3 +116,19 @@ def test_lr_scorer_requires_labels(spark, raw):
     cfg = PipelineConfig(workdir="/tmp/_unused", scorer="lr")
     with pytest.raises(ValueError, match="labeled_pairs"):
         run_in_memory(spark, pages, cfg)["scored"].count()
+
+
+def test_run_in_memory_release_unpersists(spark):
+    """run_in_memory's caches are intentionally session-scoped; the
+    returned release() handle must drop every CacheManager entry so
+    long-lived sessions running many pipelines don't accumulate."""
+    from idd_hw6_record_linkage_spark.plans.pipeline import run_in_memory
+
+    spark.catalog.clearCache()
+    pages = G.generate_pages(spark, 80)
+    res = run_in_memory(spark, pages)
+    res["clusters"].count()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()
+    res["release"]()
+    assert cm.isEmpty()
