@@ -67,10 +67,17 @@ SCALE_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "2700"))
 # the JVM + Python workers + GC account for a few points above `cpus`;
 # anything beyond that is neighbor load stealing the job's cores.
 # Calibrated on observed end-of-run loads: legitimate local[16] runs
-# end at 19.5-21.6 (16 threads + GC/OS), real storms at 22.6-23.3 —
-# margin 6 (threshold 22 at HI) separates them; 5 misclassified
-# marginally-fine runs as dirty.
-STORM_MARGIN = float(os.environ.get("SPARK_GRAFT_STORM_MARGIN", "6"))
+# end at 19.5-21.6 (16 threads + GC/OS); at 22.3-22.9 the run is
+# USUALLY still near capability (612-660k rows/s measured) but
+# occasionally gutted (167k); at 23.3-24.2 always gutted. End-of-run
+# load is a weak proxy, so the margin errs loose (7 → threshold 23 at
+# HI): a falsely-accepted deflated-HI round yields a LOW ratio that
+# simply loses the best-round max (under-reporting, the safe
+# direction), while the deflated-LO inflation risk is independently
+# capped by the ratio ≤ 0.98 validity rule. Tighter margins (5, 6)
+# were measured rejecting whole stormy-but-fine sessions into the
+# clean:false fallback.
+STORM_MARGIN = float(os.environ.get("SPARK_GRAFT_STORM_MARGIN", "7"))
 
 HEADLINE_QUERIES = [
     "rl_candidate_pairs",
