@@ -61,22 +61,16 @@ SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
 # the pair until a clean pair lands, the bar clears, or the budget
 # runs out (see main()).
 SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
-SCALE_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "2700"))
+# 3600 s: two 80k-entity [HI,LO] rounds nearly exhaust the previous
+# 2700 s budget, leaving no room for the retry the storm-refusal
+# policy exists to take (round-3 artifact expired mid-retry).
+SCALE_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "3600"))
 # A run is storm-contaminated when the 1-min host load exceeds what the
-# job itself generates (its thread count) by more than this margin —
-# the JVM + Python workers + GC account for a few points above `cpus`;
-# anything beyond that is neighbor load stealing the job's cores.
-# Calibrated on observed end-of-run loads: legitimate local[16] runs
-# end at 19.5-21.6 (16 threads + GC/OS); at 22.3-22.9 the run is
-# USUALLY still near capability (612-660k rows/s measured) but
-# occasionally gutted (167k); at 23.3-24.2 always gutted. End-of-run
-# load is a weak proxy, so the margin errs loose (7 → threshold 23 at
-# HI): a falsely-accepted deflated-HI round yields a LOW ratio that
-# simply loses the best-round max (under-reporting, the safe
-# direction), while the deflated-LO inflation risk is independently
-# capped by the ratio ≤ 0.98 validity rule. Tighter margins (5, 6)
-# were measured rejecting whole stormy-but-fine sessions into the
-# clean:false fallback.
+# job itself generates (its thread count) by more than this margin.
+# Default 7 (→ threshold 23 at local[16]); the full calibration table
+# and the err-loose rationale live in BENCH.md ("Storm margin
+# calibration") — this constant and that section are the ONLY two
+# places the number appears.
 STORM_MARGIN = float(os.environ.get("SPARK_GRAFT_STORM_MARGIN", "7"))
 
 HEADLINE_QUERIES = [
@@ -85,6 +79,7 @@ HEADLINE_QUERIES = [
     "rl_match_edges",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_prod",
     "text_quality",
     "text_lang_id",
     "ann_topk_brute",
@@ -225,6 +220,11 @@ def main() -> None:
     spark = get_spark(master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # The headline section gets the same quiet gate the scaling section
+    # has: round-3's recorded headline regressions (total 61.4 s vs the
+    # same code's quiet 46.0 s) were ambient neighbor load the harness
+    # already knows how to dodge — it just wasn't dodging it here.
+    headline_gate = wait_for_quiet()
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
@@ -288,26 +288,43 @@ def main() -> None:
     def pair_eff(hi: dict, lo: dict) -> float:
         return hi["pairs_scored_per_sec"] / (ratio * lo["pairs_scored_per_sec"])
 
-    def best_round(rounds: list) -> tuple[float, dict, dict, bool]:
-        valid = [
-            (pair_eff(h, l), h, l)
-            for h, l in rounds
-            if not contaminated(h) and not contaminated(l)
-            and pair_eff(h, l) <= 0.98
+    def best_round(rounds: list) -> tuple[float, dict, dict, bool, str]:
+        """Finalize ONLY condition-matched [HI,LO] rounds, never a
+        cross-round pairing, and NEVER a ratio the ≤0.98 plausibility
+        rule rejects (round-3's fallback paired best-per-level across
+        rounds and published 1.1282 — exactly the number the rule
+        exists to refuse). Selection order:
+
+        1. clean round (both runs uncontaminated, ratio ≤ 0.98);
+        2. plausible round whose only contamination is the HI run —
+           a storm deflates HI, so the ratio is a defensible LOWER
+           BOUND (flagged ``hi_contaminated_lower_bound``);
+        3. any other plausible round (LO contaminated: a deflated LO
+           inflates the ratio, so flag it ``lo_contaminated_suspect``);
+        4. all rounds implausible (>0.98 means that round's LO was
+           deflated): clamp the min ratio to 0.98 and flag
+           ``implausible_all_rounds_clamped`` — an explicit artifact
+           defect, not a fake measurement.
+        """
+        scored = [(pair_eff(h, l), h, l) for h, l in rounds]
+        clean = [
+            t for t in scored
+            if not contaminated(t[1]) and not contaminated(t[2])
+            and t[0] <= 0.98
         ]
-        if valid:
-            e, h, l = max(valid, key=lambda t: t[0])
-            return e, h, l, True
-        # no clean round: fall back to best-per-level, preferring the
-        # uncontaminated runs of each level when any exist (conservative
-        # — a deflated LO would inflate a pair ratio, best-LO cannot)
-        his = [h for h, _ in rounds]
-        los = [l for _, l in rounds]
-        his = [h for h in his if not contaminated(h)] or his
-        los = [l for l in los if not contaminated(l)] or los
-        h = max(his, key=lambda r: r["pairs_scored_per_sec"])
-        l = max(los, key=lambda r: r["pairs_scored_per_sec"])
-        return pair_eff(h, l), h, l, False
+        if clean:
+            e, h, l = max(clean, key=lambda t: t[0])
+            return e, h, l, True, "clean"
+        plaus = [t for t in scored if t[0] <= 0.98]
+        hi_only = [t for t in plaus if not contaminated(t[2])]
+        if hi_only:
+            e, h, l = max(hi_only, key=lambda t: t[0])
+            return e, h, l, False, "hi_contaminated_lower_bound"
+        if plaus:
+            e, h, l = max(plaus, key=lambda t: t[0])
+            return e, h, l, False, "lo_contaminated_suspect"
+        e, h, l = min(scored, key=lambda t: t[0])
+        return 0.98, h, l, False, "implausible_all_rounds_clamped"
 
     gates = [wait_for_quiet()]
     rounds: list[tuple[dict, dict]] = []
@@ -321,7 +338,7 @@ def main() -> None:
         gates.append(wait_for_quiet(max_wait=120))
         got[order[1]] = run_scaling_level(order[1])
         rounds.append((got[SCALE_HI], got[SCALE_LO]))
-        efficiency, hi, lo, clean = best_round(rounds)
+        efficiency, hi, lo, clean, selection = best_round(rounds)
         # Early exit ONLY on a valid (clean, plausible) round at/above
         # the bar. A fallback number must never end the loop early: a
         # >0.98 ratio means that round's LO was deflated (measured in
@@ -341,6 +358,7 @@ def main() -> None:
                 "metric": "linkage_bench_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                "headline_gate_load_1m": round(headline_gate, 2),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "scaling": {
@@ -369,6 +387,7 @@ def main() -> None:
                     ],
                     "gate_load_1m": [round(g, 2) for g in gates],
                     "selected_round_clean": clean,
+                    "selection": selection,
                     "estimator": "best clean condition-matched [HI,LO] round",
                     "efficiency": round(efficiency, 4),
                 },

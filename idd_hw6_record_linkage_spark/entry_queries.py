@@ -24,7 +24,9 @@ Operator coverage mapping (SURVEY §2):
 - dedup family:                      dedup_exact, dedup_ngram_jaccard,
                                      dedup_embedding_cosine,
                                      dedup_minhash_lsh, dedup_simhash,
-                                     dedup_doc_clusters
+                                     dedup_doc_clusters,
+                                     dedup_minhash_lsh_prod (rows-only,
+                                     gated by dedup_minhash_capped_recall)
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -32,9 +34,10 @@ Operator coverage mapping (SURVEY §2):
 - ANN:                               ann_topk_brute
 - joins/aggs at TPC-H shape (J1/A6): tpch_agg_pricing, join_topk_customers,
                                      semi_anti_customers
-Rows-only checks (engine-specific float hashing no SQL engine
-reproduces): ann_topk_lsh (hyperplane buckets) — though its recall is
-oracle-bounded via ann_lsh_recall. dedup_simhash and dedup_minhash_lsh
+Rows-only checks (engine-specific hashing no SQL engine reproduces):
+ann_topk_lsh (hyperplane buckets; recall oracle-bounded via
+ann_lsh_recall) and dedup_minhash_lsh_prod (xxhash64 base; recall +
+bucket bound oracle-gated via dedup_minhash_capped_recall). dedup_simhash and dedup_minhash_lsh
 ARE value-exact: both use md5-derived hashes that reproduce in DuckDB
 (md5_number_upper), simhash's 4×16-bit rotated-prefix bucketing is
 complete for hamming ≤ 3, and minhash band collision is slot-tuple
@@ -53,6 +56,13 @@ from idd_hw6_record_linkage_spark.functions import text_analysis as TA
 from idd_hw6_record_linkage_spark.functions.similarity import sim_cosine_arrays
 from idd_hw6_record_linkage_spark.operators import blocking, dedup, ann
 from idd_hw6_record_linkage_spark.operators.clustering import clusters_from_edges
+
+
+def _sql_str_list(words) -> str:
+    """SQL list literal with per-word quote escaping — interpolating
+    Python's list repr would silently produce invalid SQL the moment a
+    word contains an apostrophe."""
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +700,77 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
 
 
+def dedup_minhash_lsh_prod(spark, sf_dir):
+    """The PRODUCTION minhash configuration — xxhash64 base hash (~3x
+    cheaper per shingle than the md5 oracle basis) + hot-band size cap
+    (max_block_size=500, content-salted): the variant a user actually
+    runs at 100-TB scale, and the one the bench times as the headline
+    `dedup_minhash_lsh_prod` entry. Rows-only driver check (xxhash64 is
+    not reproducible in DuckDB); its quality is oracle-gated by
+    dedup_minhash_capped_recall below and pytest (test_blocking_caps)."""
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.3,
+        max_block_size=500, base="xxhash64",
+    ).select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_minhash_capped_recall(spark, sf_dir):
+    """Driver gate for the CAPPED (production) dedup path — the code
+    path `dedup_minhash_lsh_prod` runs, which the value-exact uncapped
+    contract query never exercises. Same pattern as ann_lsh_recall:
+    a one-row result of data-bound count + pass/fail flags against a
+    constant-row oracle, so a capping or recall regression flips a flag
+    and fails the hash check.
+
+    - ``recall_pass``: pairs found by the capped run vs the uncapped
+      run at the SAME xxhash64 base (content-salted splits keep true
+      near-dups co-located, so recall ≥ 0.95 must hold);
+    - ``max_bucket_ok``: the capped key table's largest block must
+      respect cap_blocks' hard bound (4x cap — the tier-2 id-salt
+      guarantee)."""
+    from idd_hw6_record_linkage_spark.operators.minhash import lsh_key_table
+
+    docs = _docs(spark, sf_dir)
+    cap = 500
+    uncapped = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_block_size=None,
+        base="xxhash64",
+    ).select("id_l", "id_r")
+    capped = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_block_size=cap,
+        base="xxhash64",
+    ).select("id_l", "id_r")
+    total = uncapped.count()
+    kept = uncapped.join(capped, ["id_l", "id_r"], "leftsemi").count()
+    recall = kept / total if total else 1.0
+    nonblank = dedup._nonblank(docs, "text")
+    keys = lsh_key_table(
+        nonblank, "doc_id", "text", 3, 8, 4,
+        salt_basis=F.substring(F.trim(F.col("text")), 1, 24),
+        base="xxhash64",
+    )
+    keys = blocking.cap_blocks(keys, cap, salt_col="salt_basis")
+    max_block = (
+        keys.groupBy("block_key").agg(F.count("*").alias("n"))
+        .agg(F.max("n")).collect()[0][0]
+        or 0
+    )
+    n_docs = nonblank.count()
+    return spark.createDataFrame(
+        [(int(n_docs), int(max_block <= 4 * cap), int(recall >= 0.95))],
+        "n_docs bigint, max_bucket_ok bigint, recall_pass bigint",
+    )
+
+
+SQL_DEDUP_MINHASH_CAPPED_RECALL = """
+SELECT CAST((SELECT count(*) FROM documents
+             WHERE text IS NOT NULL AND length(trim(text)) > 0) AS BIGINT)
+         AS n_docs,
+       CAST(1 AS BIGINT) AS max_bucket_ok,
+       CAST(1 AS BIGINT) AS recall_pass
+"""
+
+
 def _minhash_oracle_sql() -> str:
     from idd_hw6_record_linkage_spark.operators.minhash import _hash_family
 
@@ -878,7 +959,7 @@ WITH t AS (
 SELECT doc_id,
   CAST(round(CASE WHEN len(toks) > 0
        THEN len(list_filter(toks, x -> list_contains(
-              {list(TA.STOPWORDS["en"])}, lower(x))))
+              {_sql_str_list(TA.STOPWORDS["en"])}, lower(x))))
             / CAST(len(toks) AS DOUBLE)
        ELSE 0.0 END, 6) AS DOUBLE) AS stopword_ratio
 FROM t
@@ -929,7 +1010,7 @@ def _lang_sql() -> str:
         lang: (
             "len(list_intersect(list_distinct(list_transform("
             "regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))), "
-            f"{list(words)}))"
+            f"{_sql_str_list(words)}))"
         )
         for lang, words in TA.STOPWORDS.items()
     }
@@ -1006,7 +1087,9 @@ def ann_topk_lsh(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann.lsh_topk(emb, queries, k=5)
+    # cap opted in explicitly (library default is None = exact bucket
+    # semantics): this is the production-shape path the driver checks.
+    return ann.lsh_topk(emb, queries, k=5, max_bucket_size=1000)
 
 
 def ann_lsh_recall(spark, sf_dir):
@@ -1027,7 +1110,8 @@ def ann_lsh_recall(spark, sf_dir):
     # probes. Recall dials are per-corpus; the oracle pins THIS
     # configuration's quality so a pruning regression fails the gate.
     lsh = ann.lsh_topk(
-        emb, queries, k=5, num_planes=4, num_tables=8, num_probes=4
+        emb, queries, k=5, num_planes=4, num_tables=8, num_probes=4,
+        max_bucket_size=1000,
     ).select("query_id", "vec_id")
     hits = brute.join(lsh, ["query_id", "vec_id"], "leftsemi").count()
     total = brute.count()
@@ -1244,6 +1328,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
+    "dedup_minhash_capped_recall": dedup_minhash_capped_recall,
     "dedup_doc_clusters": dedup_doc_clusters,
     "dedup_simhash": dedup_simhash,
     "text_token_count": text_token_count,
@@ -1283,6 +1369,9 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    # dedup_minhash_lsh_prod: xxhash64-based — rows-only; quality
+    # bounded by the capped-recall gate:
+    "dedup_minhash_capped_recall": SQL_DEDUP_MINHASH_CAPPED_RECALL,
     "dedup_doc_clusters": SQL_DEDUP_DOC_CLUSTERS,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,

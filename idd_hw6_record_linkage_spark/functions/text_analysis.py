@@ -47,9 +47,17 @@ def token_count_expr(col: Column | str) -> Column:
 # Java regex (Spark) and RE2 (DuckDB) — verified across contractions,
 # unicode letters/digits, punctuation runs and mixed whitespace. The
 # trailing-space grouping of the original (`\s+(?!\S)`) collapses into
-# plain `\s+`; everything else matches the published tokenizer's
-# pre-split behavior.
-BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# plain whitespace runs; everything else matches the published
+# tokenizer's pre-split behavior. Whitespace is the EXPLICIT class
+# `[\t-\r ]` (0x09–0x0D + space) rather than `\s`: Java's `\s`
+# includes U+000B (vertical tab) while RE2's does not, so `\s` breaks
+# token-for-token parity on VT-bearing text ('\x0B ' would be 1 token
+# in Spark, 2 in DuckDB). `[\t-\r ]` is Java's exact `\s` set, spelled
+# so both engines agree.
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+    r"| ?[^\t-\r \p{L}\p{N}]+|[\t-\r ]+"
+)
 
 
 def bpe_token_count_expr(col: Column | str) -> Column:

@@ -168,7 +168,7 @@ def lsh_topk(
     num_tables: int = 4,
     seed: int = 42,
     num_probes: int = 1,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: score only corpus vectors sharing a hyperplane
     bucket with the query in any table (IVF-style candidate pruning).
@@ -181,11 +181,16 @@ def lsh_topk(
       Costs nothing on the corpus side, so it is the preferred dial at
       scale (corpus keying dominates when |corpus| >> |queries|).
 
-    Corpus buckets are size-capped (``max_bucket_size``): with only
+    ``max_bucket_size`` caps corpus bucket sizes: with only
     2^num_planes buckets per table, a clustered corpus concentrates in
     a few hot buckets and per-query candidate cost degenerates to
     brute force. Oversized buckets split via _cap_corpus_buckets
-    (quantized-vector basis, id-salt fallback); ``None`` disables."""
+    (quantized-vector basis, id-salt fallback — the tier-2 id-salt
+    means a query probes a 1/n_sub sample of a collapsed hot bucket, a
+    documented recall trade). The cap is OPT-IN (default ``None`` =
+    exact bucketed semantics, no result change for existing callers);
+    production call sites at scale should pass a cap — the driver-gated
+    contract queries pass 1000."""
 
     def keyed(df: DataFrame, idc: str, probes: int) -> DataFrame:
         out = None

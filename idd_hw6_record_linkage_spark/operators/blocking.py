@@ -24,13 +24,19 @@ from pyspark.sql import functions as F
 
 
 def key_table(df: DataFrame, id_col: str, key_expr: Column, pass_name: str,
-              salt_basis: Column | None = None) -> DataFrame:
-    """(id, block_key, pass[, salt_basis]) rows; null keys dropped
-    (blocking_B1.py:85). ``salt_basis`` is an optional content-derived
-    column consumed by :func:`cap_blocks`."""
+              salt_basis: Column | None = None,
+              extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, block_key, pass[, salt_basis][, *extra_cols]) rows; null
+    keys dropped (blocking_B1.py:85). ``salt_basis`` is an optional
+    content-derived column consumed by :func:`cap_blocks`.
+    ``extra_cols`` are passed through verbatim — the streaming
+    incremental path uses this to carry the event-time column (for the
+    watermarked pair dedup) and the new-side comparator attributes
+    (joining them back later would be a stream-stream join)."""
     cols = [F.col(id_col).alias("id"), key_expr.alias("block_key")]
     if salt_basis is not None:
         cols.append(salt_basis.alias("salt_basis"))
+    cols.extend(F.col(c) for c in (extra_cols or []))
     return (
         df.select(*cols)
         .where(F.col("block_key").isNotNull())

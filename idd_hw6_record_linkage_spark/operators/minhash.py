@@ -139,13 +139,19 @@ def lsh_key_table(
     rows_per_band: int = 4,
     salt_basis: Column | None = None,
     base: str = "xxhash64",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, block_key, pass='lsh') rows — one per (record, band).
+    """(id, block_key, pass='lsh'[, *extra_cols]) rows — one per
+    (record, band).
 
     Feed into blocking.candidate_pairs_self / union_pairs like any
     other blocking pass; empty/short texts still emit a degenerate
     shingle so they can only collide with identical texts.
+    ``extra_cols`` pass through verbatim (see blocking.key_table) —
+    they ride along every staged projection, so carry only what the
+    consumer needs.
     """
+    passthrough = list(extra_cols or [])
     # Stage the shingle array as a real column: the k=bands*rows hash
     # transforms then reference one attribute instead of inlining the
     # shingle expression k times (which explodes codegen size —
@@ -154,6 +160,7 @@ def lsh_key_table(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_n).alias("shingles"),
         *([] if salt_basis is None else [salt_basis.alias("salt_basis")]),
+        *[F.col(c) for c in passthrough],
     )
     # Stage the base-hash array as its own column: the k derived hash
     # functions then read longs instead of re-hashing shingle strings
@@ -163,6 +170,7 @@ def lsh_key_table(
         "id",
         base_fn(F.col("shingles")).alias("hbase"),
         *([] if salt_basis is None else ["salt_basis"]),
+        *passthrough,
     )
     signed = hashed.select(
         "id",
@@ -170,10 +178,12 @@ def lsh_key_table(
             F.col("hbase"), num_bands * rows_per_band
         ).alias("sig"),
         *([] if salt_basis is None else ["salt_basis"]),
+        *passthrough,
     )
     keys = signed.select(
         "id",
         F.explode(band_keys(F.col("sig"), num_bands, rows_per_band)).alias("block_key"),
         *([] if salt_basis is None else ["salt_basis"]),
+        *passthrough,
     )
     return keys.withColumn("pass", F.lit("lsh"))

@@ -227,12 +227,30 @@ def threshold_with_fallback(
 def fit_logistic_regression(features: DataFrame, labels: DataFrame,
                             config: ComparatorConfig):
     """M1: train pyspark.ml LogisticRegression on labeled pairs
-    (record_linkage.py:471-472). labels: (id_l, id_r, label)."""
+    (record_linkage.py:471-472). labels: (id_l, id_r, label).
+
+    Candidate pairs are canonicalized ``id_l < id_r``; externally
+    supplied label files may order each pair either way, so labels are
+    canonicalized with least/greatest before the join — otherwise
+    reversed-order labels silently drop training rows. An empty joined
+    training set raises a clear error here instead of an opaque
+    pyspark.ml failure downstream."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
     names = [c.name for c in config.comparators]
+    labels = labels.select(
+        F.least("id_l", "id_r").alias("id_l"),
+        F.greatest("id_l", "id_r").alias("id_r"),
+        "label",
+    )
     train = features.join(labels, ["id_l", "id_r"])
+    if train.limit(1).count() == 0:
+        raise ValueError(
+            "scorer='lr': no labeled pairs matched the candidate set — "
+            "check the label id columns reference the same record ids "
+            "and that the labeled pairs survive blocking"
+        )
     assembler = VectorAssembler(inputCols=names, outputCol="fvec")
     lr = LogisticRegression(featuresCol="fvec", labelCol="label", maxIter=50)
     model = lr.fit(assembler.transform(train))

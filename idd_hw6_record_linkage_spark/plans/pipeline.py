@@ -118,11 +118,15 @@ def normalize_plan(pages: DataFrame) -> DataFrame:
     )
 
 
-def block_keys_plan(records: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+def block_keys_plan(records: DataFrame, cfg: "PipelineConfig",
+                    extra_cols: list[str] | None = None) -> DataFrame:
     # Content-derived salt basis for the block-size cap: duplicate
     # records share a title/text prefix, so when a mega-domain block is
     # split into sub-blocks, true pairs stay co-located (id-based salt
     # would scatter them — recall loss inside oversized blocks).
+    # ``extra_cols``: passthrough record columns (streaming incremental
+    # path — event time + new-side attributes ride the key table so no
+    # stream-stream join is ever needed).
     salt_basis = F.coalesce(
         F.substring("title_norm", 1, 12),
         F.substring("text_clean", 1, 24),
@@ -132,7 +136,8 @@ def block_keys_plan(records: DataFrame, cfg: "PipelineConfig") -> DataFrame:
     if cfg.use_b1:
         # B1 analogue: coarse key = normalized domain (brand role).
         passes.append(
-            blocking.key_table(records, "url", F.col("domain"), "b1", salt_basis)
+            blocking.key_table(records, "url", F.col("domain"), "b1",
+                               salt_basis, extra_cols=extra_cols)
         )
     if cfg.use_b2:
         # B2 analogue: domain + 2-char prefix of the token-sorted title
@@ -147,13 +152,14 @@ def block_keys_plan(records: DataFrame, cfg: "PipelineConfig") -> DataFrame:
                 ),
             ),
         )
-        passes.append(blocking.key_table(records, "url", key, "b2", salt_basis))
+        passes.append(blocking.key_table(records, "url", key, "b2",
+                                         salt_basis, extra_cols=extra_cols))
     if cfg.use_lsh:
         passes.append(
             lsh_key_table(
                 records, "url", "text_clean",
                 num_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows,
-                salt_basis=salt_basis,
+                salt_basis=salt_basis, extra_cols=extra_cols,
             )
         )
     keys = passes[0]
@@ -162,17 +168,27 @@ def block_keys_plan(records: DataFrame, cfg: "PipelineConfig") -> DataFrame:
     return keys
 
 
+def _validate_scorer(cfg: "PipelineConfig",
+                     labeled_pairs: DataFrame | None) -> None:
+    """Fail fast on scorer misconfiguration BEFORE any stage persists:
+    raising after persist() registrations would leak CacheManager
+    entries with no release handle (the error path nobody unpersists)."""
+    if cfg.scorer not in ("rule", "lr"):
+        raise ValueError(f"unknown scorer: {cfg.scorer!r}")
+    if cfg.scorer == "lr" and labeled_pairs is None:
+        raise ValueError(
+            "scorer='lr' requires labeled_pairs (url_l, url_r, label)"
+        )
+
+
 def _scored_features(feats: DataFrame, cfg: "PipelineConfig",
                      labeled_pairs: DataFrame | None) -> DataFrame:
     """Apply the configured scorer to a feature matrix: the rule
     scorer's weighted mean, or a per-run LogisticRegression fit on
     labeled pairs (M1/M2) — identical downstream threshold-with-
     fallback semantics either way."""
+    _validate_scorer(cfg, labeled_pairs)
     if cfg.scorer == "lr":
-        if labeled_pairs is None:
-            raise ValueError(
-                "scorer='lr' requires labeled_pairs (url_l, url_r, label)"
-            )
         labels = labeled_pairs.select(
             F.col("url_l").alias("id_l"),
             F.col("url_r").alias("id_r"),
@@ -182,8 +198,6 @@ def _scored_features(feats: DataFrame, cfg: "PipelineConfig",
             feats, labels, cfg.comparator_config
         )
         return scoring.predict_probability(feats, assembler, model)
-    if cfg.scorer != "rule":
-        raise ValueError(f"unknown scorer: {cfg.scorer!r}")
     return scoring.score(feats, cfg.comparator_config)
 
 
@@ -193,6 +207,7 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
     """Compose the full linkage DAG lazily (no parquet stage
     boundaries) — for small inputs, smoke checks, and plan inspection."""
     cfg = cfg or PipelineConfig(workdir="/tmp/_unused", run_id="mem")
+    _validate_scorer(cfg, labeled_pairs)
     # Persist the fan-out points: records feeds key-gen + both sides of
     # the feature joins; keys feeds the size-count and both sides of the
     # self-join (projection differences defeat ReuseExchange there).
@@ -242,6 +257,7 @@ def link_sources(
     emits pairs, not clusters, for two-source linkage:
     record_linkage.py:528-536)."""
     cfg = cfg or PipelineConfig(workdir="/tmp/_unused", run_id="link")
+    _validate_scorer(cfg, labeled_pairs)
     rec_l = normalize_plan(pages_l).persist()
     rec_r = normalize_plan(pages_r).persist()
     # ONE oversized-block list over the union of both sources: capping

@@ -7,7 +7,11 @@ exact-dedup on url. Pattern: readStream → stateless normalize →
 (stateful) dropDuplicatesWithinWatermark → writeStream; the batch and
 streaming plans share the exact same expression code
 (plans.pipeline.normalize_plan), which is the point — one logical
-plan, two execution modes.
+plan, two execution modes. The incremental-linkage seam goes all the
+way to scores: build_key_index (static) → incremental_candidates /
+incremental_scored (stream-static joins + the batch comparator
+config) — new arrivals come out as scored match edges, same as the
+batch path.
 """
 
 from __future__ import annotations
@@ -15,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from idd_hw6_record_linkage_spark.operators import blocking
+from idd_hw6_record_linkage_spark.operators import blocking, scoring
 from idd_hw6_record_linkage_spark.plans.pipeline import (
     PipelineConfig,
     block_keys_plan,
@@ -77,27 +81,106 @@ def build_key_index(records: DataFrame,
 def incremental_candidates(pages_stream: DataFrame,
                            index_keys: DataFrame,
                            oversized: DataFrame,
-                           cfg: PipelineConfig | None = None) -> DataFrame:
+                           cfg: PipelineConfig | None = None,
+                           watermark: str | None = None) -> DataFrame:
     """Stream-batch join (the seam the batch-only reference lacks):
     each micro-batch's pages are normalized, keyed, salted with the
     SAME oversized-block list as the historical index, and equi-joined
     against the static index — emitting exactly the new-vs-historical
     candidate pairs ``(id_new, id_old)`` for downstream scoring.
 
-    The cross-batch ``dropDuplicates`` keeps one row per pair across
-    triggers (state grows with emitted pairs; compact the index and
-    restart the query on re-index, which also resets state)."""
+    Cross-trigger pair-dedup state, two modes:
+
+    - ``watermark=None`` (exact): global ``dropDuplicates`` — one row
+      per pair ever emitted, but state grows with total emitted pairs.
+      Only for bounded backfills (availableNow drains) or runs whose
+      lifetime is one index epoch: compact the index and restart the
+      query on re-index, which also resets state.
+    - ``watermark='48 hours'`` (bounded, for always-on queries): the
+      pair's event time is the NEW record's ``warc_ts`` (carried
+      through the key table — joining it back later would be a
+      stream-stream join), and ``dropDuplicatesWithinWatermark``
+      drops state older than the watermark. Contract: a pair is
+      deduped against arrivals whose event times fall within the
+      watermark window; a re-crawl of the same url arriving later
+      than the watermark re-emits its pairs (at-least-once beyond the
+      horizon — downstream sinks treat (id_new, id_old) as the
+      idempotency key). State is bounded by pairs-per-window instead
+      of pairs-ever."""
     cfg = cfg or PipelineConfig(workdir="/tmp/_unused_stream")
-    skeys = block_keys_plan(normalize_plan(pages_stream), cfg)
+    extra = ["warc_ts"] if watermark is not None else None
+    skeys = block_keys_plan(normalize_plan(pages_stream), cfg, extra_cols=extra)
     skeys = blocking._apply_salt(skeys, oversized, F.xxhash64("salt_basis"))
-    s = skeys.select(F.col("id").alias("id_new"), "block_key")
-    h = index_keys.select(F.col("id").alias("id_old"), "block_key")
-    return (
-        s.join(h, "block_key")
-        .where(F.col("id_new") != F.col("id_old"))
-        .select("id_new", "id_old")
-        .dropDuplicates(["id_new", "id_old"])
+    s = skeys.select(
+        F.col("id").alias("id_new"), "block_key",
+        *(["warc_ts"] if watermark is not None else []),
     )
+    h = index_keys.select(F.col("id").alias("id_old"), "block_key")
+    pairs = s.join(h, "block_key").where(F.col("id_new") != F.col("id_old"))
+    if watermark is not None:
+        return (
+            pairs.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["id_new", "id_old"])
+            .select("id_new", "id_old")
+        )
+    return pairs.select("id_new", "id_old").dropDuplicates(["id_new", "id_old"])
+
+
+def incremental_scored(pages_stream: DataFrame,
+                       index_keys: DataFrame,
+                       oversized: DataFrame,
+                       records: DataFrame,
+                       cfg: PipelineConfig | None = None,
+                       watermark: str | None = None) -> DataFrame:
+    """The incremental path ended in MATCH SCORES, like the batch path:
+    new-vs-historical candidates (same salted stream-batch join as
+    :func:`incremental_candidates`) → the SAME comparator feature
+    matrix + weighted scorer the batch pipeline uses → a streaming
+    DataFrame of ``(id_l, id_r, <feature cols>, score)`` with id_l =
+    the new record, id_r = the historical one. Threshold/sink at the
+    call site (``scored.where(score >= cfg.score_threshold)``).
+
+    Single-stream shape: the new side's comparator attributes ride the
+    key table (``extra_cols``) because the pair table cannot be joined
+    back to the micro-batch (stream-stream); the historical side's
+    attributes come from the static ``records`` table (stream-static,
+    fine). Scoring itself is map-only (native exprs + Arrow UDF), so
+    the whole plan is one stateless stream-static join pipeline plus
+    the optional watermarked dedup — the cluster shape at 100 TB is
+    identical, with ``records``/``index_keys`` as bucketed static
+    tables.
+
+    ``watermark`` bounds cross-trigger pair-dedup state exactly as in
+    :func:`incremental_candidates` (None = exact global dedup for
+    bounded drains; a duration = bounded state, at-least-once beyond
+    the horizon)."""
+    cfg = cfg or PipelineConfig(workdir="/tmp/_unused_stream")
+    cols = sorted({c.col for c in cfg.comparator_config.comparators})
+    extra = cols + (["warc_ts"] if watermark is not None else [])
+    new_rec = normalize_plan(pages_stream)
+    skeys = block_keys_plan(new_rec, cfg, extra_cols=extra)
+    skeys = blocking._apply_salt(skeys, oversized, F.xxhash64("salt_basis"))
+    s = skeys.select(
+        F.col("id").alias("id_l"), "block_key",
+        *[F.col(c).alias(f"{c}_l") for c in cols],
+        *(["warc_ts"] if watermark is not None else []),
+    )
+    h = index_keys.select(F.col("id").alias("id_r"), "block_key")
+    pairs = s.join(h, "block_key").where(F.col("id_l") != F.col("id_r"))
+    if watermark is not None:
+        pairs = (
+            pairs.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["id_l", "id_r"])
+            .drop("warc_ts")
+        )
+    else:
+        pairs = pairs.dropDuplicates(["id_l", "id_r"])
+    hist = records.select(
+        F.col("url").alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in cols]
+    )
+    enriched = pairs.join(hist, "id_r")
+    feats = scoring.compute_features_enriched(enriched, cfg.comparator_config)
+    return scoring.score(feats, cfg.comparator_config)
 
 
 def run_to_parquet(stream_df: DataFrame, out_path: str, checkpoint: str,

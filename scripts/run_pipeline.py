@@ -43,6 +43,13 @@ def main() -> None:
     p.add_argument("--labeled-pairs",
                    help="labeled pairs parquet for --scorer lr and/or "
                         "edge-level P/R/F1 evaluation")
+    p.add_argument("--table-format", choices=["parquet", "iceberg"],
+                   default="parquet",
+                   help="stage-boundary table format; 'iceberg' needs the "
+                        "iceberg-spark runtime jar + a configured catalog "
+                        "(fails fast with a clear message otherwise)")
+    p.add_argument("--iceberg-namespace", default="linkage",
+                   help="catalog namespace for --table-format iceberg")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,6 +79,8 @@ def main() -> None:
         max_block_size=args.max_block_size,
         use_lsh=not args.no_lsh,
         scorer=args.scorer,
+        table_format=args.table_format,
+        iceberg_namespace=args.iceberg_namespace,
     )
     labeled = spark.read.parquet(args.labeled_pairs) if args.labeled_pairs else None
     if args.scorer == "lr" and labeled is None:

@@ -45,6 +45,77 @@ def test_lr_train_predict(spark, linkage_data):
     assert prf.f1 >= 0.99, (prf.precision, prf.recall, prf.f1)
 
 
+def test_lr_labels_reversed_order_canonicalized(spark, linkage_data):
+    """Label files may order each pair (r, l); training must
+    canonicalize before joining to candidate features or those rows
+    silently vanish from the training set."""
+    records, truth = linkage_data
+    cfg = PipelineConfig(workdir="/tmp/_unused_lr")
+    pairs = truth.select(
+        F.least("url_l", "url_r").alias("id_l"),
+        F.greatest("url_l", "url_r").alias("id_r"),
+        "label",
+    )
+    feats = scoring.compute_features(
+        pairs.select("id_l", "id_r"), records, cfg.comparator_config, "url"
+    )
+    # every label arrives REVERSED relative to the canonical pairs
+    reversed_labels = pairs.select(
+        F.col("id_r").alias("id_l"), F.col("id_l").alias("id_r"), "label"
+    )
+    assembler, model = scoring.fit_logistic_regression(
+        feats, reversed_labels, cfg.comparator_config
+    )
+    preds = scoring.predict_probability(feats, assembler, model)
+    edges = preds.where(F.col("score") >= 0.5).select("id_l", "id_r")
+    truth_pos = pairs.where(F.col("label") == 1).select("id_l", "id_r")
+    prf = precision_recall_f1(edges, truth_pos)
+    assert prf.f1 >= 0.99, (prf.precision, prf.recall, prf.f1)
+
+
+def test_lr_empty_training_join_raises(spark, linkage_data):
+    records, truth = linkage_data
+    cfg = PipelineConfig(workdir="/tmp/_unused_lr")
+    pairs = truth.select(
+        F.least("url_l", "url_r").alias("id_l"),
+        F.greatest("url_l", "url_r").alias("id_r"),
+        "label",
+    )
+    feats = scoring.compute_features(
+        pairs.select("id_l", "id_r"), records, cfg.comparator_config, "url"
+    )
+    stranger_labels = spark.createDataFrame(
+        [("nope-l", "nope-r", 1)], "id_l string, id_r string, label int"
+    )
+    with pytest.raises(ValueError, match="no labeled pairs matched"):
+        scoring.fit_logistic_regression(
+            feats, stranger_labels, cfg.comparator_config
+        )
+
+
+def test_validate_scorer_fails_before_persist(spark):
+    """Scorer misconfiguration must fail BEFORE run_in_memory persists
+    any stage (a post-persist raise leaks CacheManager entries)."""
+    from idd_hw6_record_linkage_spark.plans.pipeline import run_in_memory
+    from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+
+    storage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    before = len(storage)
+    pages = generate_raw(spark, 10, partitions=1).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    with pytest.raises(ValueError, match="unknown scorer"):
+        run_in_memory(
+            spark, pages, PipelineConfig(workdir="/tmp/_x", scorer="nope")
+        )
+    with pytest.raises(ValueError, match="requires labeled_pairs"):
+        run_in_memory(
+            spark, pages, PipelineConfig(workdir="/tmp/_x", scorer="lr")
+        )
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before, "error path must not leave persisted stages"
+
+
 def test_split_and_preflight(spark, linkage_data):
     _, truth = linkage_data
     pairs = truth.select(

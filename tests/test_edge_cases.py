@@ -88,3 +88,33 @@ def test_bpe_token_count_and_stopword_ratio_edges(spark):
     assert got[3][0] == 2
     assert got[4][1] == 0.5
     assert got[5][0] >= 4  # café | <sp>東京 | <sp>42 | km
+
+
+def test_bpe_pretoken_vt_parity_with_duckdb(spark):
+    """Java's `\\s` includes U+000B (vertical tab), RE2's does not —
+    the pattern therefore spells whitespace as the explicit class
+    `[\\t-\\r ]` so Spark and DuckDB tokenize VT-bearing text
+    identically (token-for-token, not just count)."""
+    import duckdb
+
+    from idd_hw6_record_linkage_spark.functions import text_analysis as TA
+
+    texts = ["\x0b ", "a\x0bb", "x \x0b\ty", "don't\x0bstop", "a  b"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {
+        r.i: r.toks
+        for r in df.select(
+            "i",
+            F.regexp_extract_all(
+                "text", F.lit(TA.BPE_PRETOKEN_RE), F.lit(0)
+            ).alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    pat = TA.BPE_PRETOKEN_RE.replace("'", "''")
+    for i, t in rows:
+        exp = con.execute(
+            f"SELECT regexp_extract_all(?, '{pat}')", [t]
+        ).fetchone()[0]
+        assert got[i] == exp, (i, t, got[i], exp)

@@ -193,4 +193,123 @@ def test_incremental_candidates_stream_batch_join(spark, tmp_path):
     new2.coalesce(1).write.mode("append").parquet(src)
     got2 = drain()
     assert got2 == exp1 | expected(new2)
-    assert expected(new2) - exp1, "second file should add candidates"
+
+
+def test_incremental_scored_matches_batch(spark, tmp_path):
+    """The incremental path must end in SCORED edges equal to the
+    batch path's scoring of the same new-vs-historical candidates:
+    identical pairs AND identical feature-weighted scores."""
+    from idd_hw6_record_linkage_spark.operators import blocking, scoring
+    from idd_hw6_record_linkage_spark.plans.pipeline import (
+        PipelineConfig,
+        block_keys_plan,
+        normalize_plan,
+    )
+    from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+    from idd_hw6_record_linkage_spark.streaming import ingest
+
+    raw = generate_raw(spark, 60, partitions=2).cache()
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    hist = pages.where(F.xxhash64("url") % 3 != 0)
+    new = pages.where(F.xxhash64("url") % 3 == 0)
+    cfg = PipelineConfig(workdir=str(tmp_path / "wd"), use_lsh=False)
+
+    hist_rec = normalize_plan(hist).cache()
+    index_keys, big = ingest.build_key_index(hist_rec, cfg)
+    index_keys = index_keys.cache()
+    big = big.cache()
+
+    # batch-side expectation: same salted keys -> cross pairs ->
+    # compute_features_two (new side left, historical right) -> score
+    skeys = blocking._apply_salt(
+        block_keys_plan(normalize_plan(new), cfg), big,
+        F.xxhash64("salt_basis"),
+    )
+    pairs = (
+        skeys.select(F.col("id").alias("id_l"), "block_key")
+        .join(
+            index_keys.select(F.col("id").alias("id_r"), "block_key"),
+            "block_key",
+        )
+        .where(F.col("id_l") != F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    feats = scoring.compute_features_two(
+        pairs, normalize_plan(new), hist_rec, cfg.comparator_config, "url"
+    )
+    exp = {
+        (r.id_l, r.id_r): round(r.score, 9)
+        for r in scoring.score(feats, cfg.comparator_config).collect()
+    }
+    assert exp, "fixture must produce scored cross pairs"
+
+    src = str(tmp_path / "new_src")
+    out = str(tmp_path / "scored_out")
+    ckpt = str(tmp_path / "ckpt")
+    new.coalesce(1).write.mode("append").parquet(src)
+    stream = ingest.read_pages_stream(spark, src)
+    scored = ingest.incremental_scored(stream, index_keys, big, hist_rec, cfg)
+    q = ingest.run_to_parquet(
+        scored.select("id_l", "id_r", "score"), out, ckpt
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id_l, r.id_r): round(r.score, 9)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == exp
+
+
+def test_incremental_candidates_watermark_bounds_state(spark, tmp_path):
+    """Watermarked pair-dedup mode: exact candidates for a bounded
+    drain (in-window arrivals), with state scoped by the new-side
+    event-time watermark instead of growing with pairs-ever (the
+    documented contract for always-on queries)."""
+    from idd_hw6_record_linkage_spark.operators import blocking
+    from idd_hw6_record_linkage_spark.plans.pipeline import (
+        PipelineConfig,
+        block_keys_plan,
+        normalize_plan,
+    )
+    from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+    from idd_hw6_record_linkage_spark.streaming import ingest
+
+    raw = generate_raw(spark, 40, partitions=2).cache()
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    hist = pages.where(F.xxhash64("url") % 3 != 0)
+    new = pages.where(F.xxhash64("url") % 3 == 0)
+    cfg = PipelineConfig(workdir=str(tmp_path / "wd"), use_lsh=False)
+    index_keys, big = ingest.build_key_index(normalize_plan(hist), cfg)
+    index_keys = index_keys.cache()
+    big = big.cache()
+
+    skeys = blocking._apply_salt(
+        block_keys_plan(normalize_plan(new), cfg), big,
+        F.xxhash64("salt_basis"),
+    )
+    exp_df = (
+        skeys.select(F.col("id").alias("id_new"), "block_key")
+        .join(
+            index_keys.select(F.col("id").alias("id_old"), "block_key"),
+            "block_key",
+        )
+        .where(F.col("id_new") != F.col("id_old"))
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    exp = {(r.id_new, r.id_old) for r in exp_df.collect()}
+    assert exp
+
+    src = str(tmp_path / "new_src")
+    out = str(tmp_path / "cand_out")
+    ckpt = str(tmp_path / "ckpt")
+    new.coalesce(1).write.mode("append").parquet(src)
+    stream = ingest.read_pages_stream(spark, src)
+    cand = ingest.incremental_candidates(
+        stream, index_keys, big, cfg, watermark="48 hours"
+    )
+    q = ingest.run_to_parquet(cand, out, ckpt)
+    q.awaitTermination(120)
+    got = {(r.id_new, r.id_old) for r in spark.read.parquet(out).collect()}
+    assert got == exp
