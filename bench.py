@@ -245,6 +245,14 @@ def main() -> None:
     # already knows how to dodge — it just wasn't dodging it here.
     headline_gate = wait_for_quiet()
     queries = entry_mod.queries()
+    # One untimed warmup covering the whole execution surface (parquet
+    # scan, whole-stage codegen JIT, Arrow-batched Python UDF worker
+    # spin-up): the scaling section already warms before timing; the
+    # headline section previously let its FIRST query absorb ~6 s of
+    # session warmup (measured: rl_candidate_pairs 7.7 s cold vs 0.6 s
+    # steady-state at sf0.1).
+    queries["rl_pair_features"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite").save()
     timings: dict[str, float] = {}
     headline_gates: list[float] = []
     total = 0.0

@@ -65,12 +65,40 @@ def _sql_str_list(words) -> str:
     return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
 
 
+def _scan(spark: SparkSession, sf_dir: str, table: str,
+          widen: bool = True) -> DataFrame:
+    """Read a driver table, widening a partition-starved scan.
+
+    The sf0.001–0.1 test parquets are single-row-group files, which
+    Spark reads as ONE input partition — every CPU-bound stage
+    downstream (minhash signatures over shingle arrays, simhash,
+    comparator evaluation) then runs on one core of 32. Measured at
+    sf0.1: dedup_minhash_lsh 20.9 s → 2.4 s, rl_pair_features 6.3 s →
+    1.2 s after widening. At production scale a 100-TB table scans as
+    tens of thousands of partitions, the condition never fires, and no
+    shuffle is added — this is a small-file testbed fix, not a
+    production repartition.
+
+    ``widen=False`` for consumers whose FIRST operation already
+    shuffles (groupBy/join aggregations): there the map phase is
+    trivial and pre-widening would only add an exchange in front of
+    the one the query needs anyway (measured: tpch_agg_pricing
+    0.6 s → 1.5 s with widening — the only headline query it hurt).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if widen:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _scan(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _scan(spark, sf_dir, "embeddings")
 
 
 def _block_key() -> F.Column:
@@ -1136,7 +1164,7 @@ SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
 
 def events_windowed_agg(spark, sf_dir):
     """Tumbling 1-hour window per event_type: count + sum(value)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _scan(spark, sf_dir, "events", widen=False)
     return (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("window_start"), "event_type"
@@ -1160,7 +1188,7 @@ def events_topk_per_user(spark, sf_dir):
     """Top-3 events by value per user (window rank, deterministic ties)."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _scan(spark, sf_dir, "events", widen=False)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("value"), F.asc("event_id")
     )
@@ -1193,7 +1221,7 @@ def events_sessionize(spark, sf_dir):
     sessionizer as pure window functions."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _scan(spark, sf_dir, "events", widen=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp(F.col("ts"))
     gap = epoch - F.lag(epoch).over(w)
@@ -1235,7 +1263,7 @@ FROM sess GROUP BY 1, 2
 
 
 def tpch_agg_pricing(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _scan(spark, sf_dir, "lineitem", widen=False)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -1262,8 +1290,8 @@ FROM lineitem GROUP BY 1, 2
 
 
 def join_topk_customers(spark, sf_dir):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _scan(spark, sf_dir, "orders", widen=False)
+    cust = _scan(spark, sf_dir, "customer", widen=False)
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
@@ -1286,8 +1314,8 @@ GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey ASC LIMIT 10
 
 
 def semi_anti_customers(spark, sf_dir):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _scan(spark, sf_dir, "orders", widen=False)
+    cust = _scan(spark, sf_dir, "customer", widen=False)
     with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "leftsemi")
     without = cust.join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
     return spark.range(1).select(
