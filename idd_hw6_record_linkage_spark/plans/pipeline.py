@@ -275,11 +275,13 @@ def link_sources(
     feats = scoring.compute_features_two(
         pairs, rec_l, rec_r, cfg.comparator_config, "url"
     )
-    scored = _scored_features(feats, cfg, labeled_pairs)
+    # persist: the threshold probe executes the scoring plan; without it
+    # the matches consumer re-runs the Arrow scoring pass a second time.
+    scored = _scored_features(feats, cfg, labeled_pairs).persist()
     matches, used = scoring.threshold_with_fallback(
         scored, cfg.score_threshold, cfg.fallback_threshold
     )
-    handles = [rec_l, rec_r, keys_l, keys_r, pairs]
+    handles = [rec_l, rec_r, keys_l, keys_r, pairs, scored]
     return {
         "records_l": rec_l,
         "records_r": rec_r,
