@@ -95,21 +95,18 @@ HEADLINE_QUERIES = [
     "join_topk_customers",
 ]
 
-_SCALING_SNIPPET = r"""
+# Builds the enriched pair table ONCE per bench invocation and stages
+# it to parquet; every level run (and every retry round) reads the
+# SAME files. Generation/blocking/enrichment are untimed setup — the
+# efficiency metric times only the cached-input scoring stage — so
+# regenerating them per level run only burned retry budget (~150-250 s
+# per run at 42k entities) and let generation-time ambient noise into
+# the per-level caches. Staging halves the round wall time (more retry
+# rounds fit the same SCALE_BUDGET) and makes the two levels'
+# inputs byte-identical by construction.
+_PREP_SNIPPET = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
-os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
-# Memory-per-core parity: on a real cluster, 4N executors bring 4x the
-# aggregate memory of N executors; the local stand-in shares one JVM
-# heap across all threads, so the heap must scale with the thread
-# count or the high level measures heap contention (persisted stage
-# eviction + GC), not the job's scalability. 4 GiB/core: the enriched
-# pair table (~6.1M rows with token arrays at the 42k default) must
-# stay fully cached at the LOW level too — eviction there silently
-# recomputes, deflating LO and dishonestly inflating the ratio; at
-# local[2] the parity heap is the binding constraint, so the per-core
-# share is sized for the whole cached table, not a quarter of it.
-os.environ.setdefault("SPARK_DRIVER_MEM", "{{}}g".format(int(4 * {cpus})))
 from idd_hw6_record_linkage_spark.session import get_spark
 from idd_hw6_record_linkage_spark.sources.generator import generate_raw
 from idd_hw6_record_linkage_spark.plans.pipeline import (
@@ -135,21 +132,57 @@ pairs = blocking.candidate_pairs_self(keys).persist()
 n_pairs = pairs.count()
 t_block = time.time() - t0
 
-# Enrichment join materialized once per level as a columnar
-# in-memory table (heap scales with the thread count, mirroring how
-# 4N executors bring 4x aggregate memory). On a cluster this join is
-# co-located by bucketing the record and pair tables on the id — the
-# single-box stand-in cannot emulate cluster shuffle/disk-bandwidth
-# scaling (one shared memory bus + one shared disk vs 4x NICs/disks
-# per 4x executors), so the timed scaling section is the scoring
-# stage in its cluster shape: map-only comparator evaluation over the
-# enriched pair table. repartition(8 x cores) keeps wave counts equal
-# across levels (a 2-wave schedule at the high level would pay up to
-# a half-wave straggler tail the low level never sees).
 t0 = time.time()
 cols = sorted({{c.col for c in cfg.comparator_config.comparators}})
-enriched = scoring.attach_pair_attributes(
-    pairs, records, cols, "url").repartition(8 * {cpus}).persist()
+scoring.attach_pair_attributes(
+    pairs, records, cols, "url").write.mode("overwrite").parquet({stage!r})
+t_enrich = time.time() - t0
+
+print(json.dumps({{
+    "n_records": n_records, "n_pairs": n_pairs,
+    "normalize_sec": round(t_norm, 3), "blocking_sec": round(t_block, 3),
+    "enrich_write_sec": round(t_enrich, 3),
+}}))
+spark.stop()
+"""
+
+_SCALING_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
+# Memory-per-core parity: on a real cluster, 4N executors bring 4x the
+# aggregate memory of N executors; the local stand-in shares one JVM
+# heap across all threads, so the heap must scale with the thread
+# count or the high level measures heap contention (persisted stage
+# eviction + GC), not the job's scalability. 4 GiB/core: the enriched
+# pair table (~6.1M rows with token arrays at the 42k default) must
+# stay fully cached at the LOW level too — eviction there silently
+# recomputes, deflating LO and dishonestly inflating the ratio; at
+# local[2] the parity heap is the binding constraint, so the per-core
+# share is sized for the whole cached table, not a quarter of it.
+os.environ.setdefault("SPARK_DRIVER_MEM", "{{}}g".format(int(4 * {cpus})))
+from idd_hw6_record_linkage_spark.session import get_spark
+from idd_hw6_record_linkage_spark.plans.pipeline import PipelineConfig
+from idd_hw6_record_linkage_spark.operators import scoring
+
+spark = get_spark(master="local[{cpus}]")
+spark.sparkContext.setLogLevel("ERROR")
+cfg = PipelineConfig(workdir="/tmp/_bench_unused")
+
+# The staged enriched pair table (built once by the prep subprocess —
+# see _PREP_SNIPPET) materialized as a columnar in-memory table (heap
+# scales with the thread count, mirroring how 4N executors bring 4x
+# aggregate memory). On a cluster the enrichment join is co-located by
+# bucketing the record and pair tables on the id — the single-box
+# stand-in cannot emulate cluster shuffle/disk-bandwidth scaling (one
+# shared memory bus + one shared disk vs 4x NICs/disks per 4x
+# executors), so the timed scaling section is the scoring stage in its
+# cluster shape: map-only comparator evaluation over the enriched pair
+# table. repartition(8 x cores) keeps wave counts equal across levels
+# (a 2-wave schedule at the high level would pay up to a half-wave
+# straggler tail the low level never sees).
+t0 = time.time()
+enriched = spark.read.parquet({stage!r}).repartition(8 * {cpus}).persist()
 n_pairs = enriched.count()
 t_enrich = time.time() - t0
 
@@ -189,10 +222,9 @@ t_score = min(pass_secs)
 best_load = pass_loads[pass_secs.index(t_score)]
 
 print(json.dumps({{
-    "cpus": {cpus}, "n_records": n_records, "n_pairs": n_pairs,
+    "cpus": {cpus}, "n_pairs": n_pairs,
     "n_scored": n_scored, "n_edges": n_edges,
-    "normalize_sec": round(t_norm, 3),
-    "blocking_sec": round(t_block, 3), "enrich_sec": round(t_enrich, 3),
+    "cache_load_sec": round(t_enrich, 3),
     "scoring_sec": round(t_score, 3),
     "pass_secs": pass_secs, "pass_loads": pass_loads,
     "pairs_scored_per_sec": round(n_scored / t_score, 1),
@@ -218,17 +250,32 @@ def wait_for_quiet(threshold: float = 9.0, max_wait: int = 240,
     return load
 
 
-def run_scaling_level(cpus: int) -> dict:
-    code = _SCALING_SNIPPET.format(repo=REPO, cpus=cpus, n_entities=N_ENTITIES)
+def _run_snippet(code: str, what: str, timeout: int = 1800) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=timeout,
         env={**os.environ, "PYTHONPATH": REPO},
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
-        raise RuntimeError(f"scaling run local[{cpus}] failed:\n{out.stderr[-2000:]}")
+        raise RuntimeError(f"{what} failed:\n{out.stderr[-2000:]}")
     return json.loads(lines[-1])
+
+
+def stage_scaling_input(stage_dir: str) -> dict:
+    """Build + parquet-stage the enriched pair table once per bench
+    invocation (fresh subprocess at full parallelism; untimed setup)."""
+    return _run_snippet(
+        _PREP_SNIPPET.format(
+            repo=REPO, cpus=CPUS, n_entities=N_ENTITIES, stage=stage_dir
+        ),
+        "scaling input staging",
+    )
+
+
+def run_scaling_level(cpus: int, stage_dir: str) -> dict:
+    code = _SCALING_SNIPPET.format(repo=REPO, cpus=cpus, stage=stage_dir)
+    return _run_snippet(code, f"scaling run local[{cpus}]")
 
 
 def main() -> None:
@@ -382,6 +429,11 @@ def main() -> None:
         e, h, l = min(scored, key=lambda t: t[0])
         return 0.98, h, l, False, "implausible_all_rounds_clamped"
 
+    import shutil
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="bench_scale_stage_")
+    prep = stage_scaling_input(stage_dir)
     gates = [wait_for_quiet()]
     rounds: list[tuple[dict, dict]] = []
     efficiency = 0.0
@@ -390,9 +442,9 @@ def main() -> None:
     for rnd in range(max(1, SCALE_ROUNDS)):
         order = [SCALE_HI, SCALE_LO] if rnd % 2 == 0 else [SCALE_LO, SCALE_HI]
         got = {}
-        got[order[0]] = run_scaling_level(order[0])
+        got[order[0]] = run_scaling_level(order[0], stage_dir)
         gates.append(wait_for_quiet(max_wait=120))
-        got[order[1]] = run_scaling_level(order[1])
+        got[order[1]] = run_scaling_level(order[1], stage_dir)
         rounds.append((got[SCALE_HI], got[SCALE_LO]))
         efficiency, hi, lo, clean, selection = best_round(rounds)
         # Early exit ONLY on a valid (clean, plausible) round at/above
@@ -419,6 +471,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "scaling": {
+                    "staged_input": prep,
                     f"local{SCALE_LO}": lo,
                     f"local{SCALE_HI}": hi,
                     f"local{SCALE_LO}_runs": [
@@ -453,6 +506,7 @@ def main() -> None:
             }
         )
     )
+    shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
