@@ -342,7 +342,14 @@ SQL_RL_MATCH_EDGES = (
 
 def rl_eval_metrics(spark, sf_dir):
     """A5: P/R/F1 of the match edges against a deterministic 'truth'
-    (same source, |n_chars diff| <= 10) via semi/anti joins."""
+    (same source, |n_chars diff| <= 10) via semi/anti joins.
+
+    The truth here is a per-source self-join — quadratic in the
+    largest source, acceptable ONLY for the fixed-size contract
+    tables. It exists to exercise the semi/anti evaluation operators
+    against a DuckDB oracle, not as a truth-builder; production truth
+    comes from labeled pairs (ground_truth.py) or the generator's
+    entity ids (expected_clusters)."""
     docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
     l = docs.withColumnsRenamed(  # noqa: E741
         {"doc_id": "id_l", "source": "s_l", "n_chars": "n_l"}
