@@ -25,6 +25,7 @@ Operator coverage mapping (SURVEY §2):
                                      dedup_embedding_cosine,
                                      dedup_minhash_lsh, dedup_simhash,
                                      dedup_doc_clusters,
+                                     dedup_cluster_stats,
                                      dedup_minhash_lsh_prod (rows-only,
                                      gated by dedup_minhash_capped_recall)
 - text analysis:                     text_token_count,
@@ -896,6 +897,29 @@ FROM reach GROUP BY id
 SQL_DEDUP_DOC_CLUSTERS = _minhash_clusters_oracle_sql()
 
 
+def dedup_cluster_stats(spark, sf_dir):
+    """Cluster-size histogram of the dedup deliverable — the shape
+    summary an operator watches after a dedup run (singleton share,
+    mega-cluster tail). Same CC fixpoint as dedup_doc_clusters, then
+    two map-side-combined aggregations (the second over one row per
+    cluster). Value-exact vs the recursive-CTE oracle re-aggregated
+    in SQL."""
+    from idd_hw6_record_linkage_spark.operators.clustering import (
+        cluster_size_stats,
+    )
+
+    return cluster_size_stats(dedup_doc_clusters(spark, sf_dir), "cluster_id")
+
+
+SQL_DEDUP_CLUSTER_STATS = f"""
+WITH assign AS ({SQL_DEDUP_DOC_CLUSTERS}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM assign GROUP BY cluster_id
+)
+SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash hamming-≤3 near-dup pairs — value-exact vs a brute-force
     DuckDB oracle: token hashes are md5 first-8-bytes little-endian
@@ -1366,6 +1390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
     "dedup_minhash_capped_recall": dedup_minhash_capped_recall,
     "dedup_doc_clusters": dedup_doc_clusters,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_simhash": dedup_simhash,
     "text_token_count": text_token_count,
     "text_token_count_bpe": text_token_count_bpe,
@@ -1408,6 +1433,7 @@ ORACLES: dict[str, str] = {
     # bounded by the capped-recall gate:
     "dedup_minhash_capped_recall": SQL_DEDUP_MINHASH_CAPPED_RECALL,
     "dedup_doc_clusters": SQL_DEDUP_DOC_CLUSTERS,
+    "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
     "text_stopword_ratio": SQL_TEXT_STOPWORD_RATIO,

@@ -105,3 +105,19 @@ def clusters_from_edges(
             F.coalesce("component", "id").alias("entity_id"),
         )
     )
+
+
+def cluster_size_stats(clusters: DataFrame,
+                       cluster_col: str = "entity_id") -> DataFrame:
+    """Cluster-size histogram over a cluster assignment:
+    (cluster_size, n_clusters) — the dedup run's shape summary
+    (singleton share, the mega-cluster tail a runaway threshold
+    produces). Two groupBy aggregations, both map-side combined; the
+    second runs over one row per cluster, so the histogram costs one
+    shuffle of the assignment table at any scale."""
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )

@@ -4,6 +4,7 @@ determinism (min-id representative)."""
 from __future__ import annotations
 
 from idd_hw6_record_linkage_spark.operators.clustering import (
+    cluster_size_stats,
     clusters_from_edges,
     connected_components,
 )
@@ -44,3 +45,16 @@ def test_component_assignment_only_edge_nodes(spark):
     e = spark.createDataFrame([("b", "a"), ("c", "b")], "id_l string, id_r string")
     got = {r["id"]: r["component"] for r in connected_components(e).collect()}
     assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_cluster_size_stats(spark):
+    # components: {a,b,c} size 3, {d,e} size 2, singletons f, g
+    nodes = ["a", "b", "c", "d", "e", "f", "g"]
+    edges = [("a", "b"), ("b", "c"), ("d", "e")]
+    e = spark.createDataFrame(edges, "id_l string, id_r string")
+    n = spark.createDataFrame([(x,) for x in nodes], "id string")
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in cluster_size_stats(clusters_from_edges(e, n)).collect()
+    }
+    assert hist == {3: 1, 2: 1, 1: 2}
