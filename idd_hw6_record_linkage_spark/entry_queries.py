@@ -31,6 +31,7 @@ Operator coverage mapping (SURVEY §2):
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
+                                     text_repetition,
                                      text_lang_id, text_fingerprint
 - ANN:                               ann_topk_brute
 - joins/aggs at TPC-H shape (J1/A6): tpch_agg_pricing, join_topk_customers,
@@ -1058,6 +1059,44 @@ FROM q
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Duplicate-trigram share per document — the intra-document
+    repetition quality signal (boilerplate / generator-loop detector)
+    a web-corpus pipeline filters on before training. Map-only native
+    exprs (split → n-gram transform → distinct/total), no shuffle.
+    Value-exact vs a DuckDB list-comprehension oracle; whitespace is
+    the explicit `[\\t-\\r ]` class so both regex engines tokenize
+    identically."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(TA.repetition_ratio_expr("text"), 6).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
+SQL_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[\t-\r ]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END AS g
+  FROM toks
+)
+SELECT doc_id,
+  CAST(round(CASE WHEN len(g) > 0
+       THEN 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+       ELSE 0.0 END, 6) AS DOUBLE) AS repetition_ratio
+FROM grams
+"""
+
+
 def text_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TA.lang_id_expr("text").alias("lang_guess")
@@ -1396,6 +1435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count_bpe": text_token_count_bpe,
     "text_stopword_ratio": text_stopword_ratio,
     "text_quality": text_quality,
+    "text_repetition": text_repetition,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "ann_topk_brute": ann_topk_brute,
@@ -1438,6 +1478,7 @@ ORACLES: dict[str, str] = {
     "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
     "text_stopword_ratio": SQL_TEXT_STOPWORD_RATIO,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_repetition": SQL_TEXT_REPETITION,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "ann_topk_brute": SQL_ANN_TOPK_BRUTE,

@@ -30,7 +30,13 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens_expr(col: Column | str) -> Column:
-    """Whitespace tokens of trimmed text; empty text → empty array."""
+    """Whitespace tokens of trimmed text; empty text → empty array.
+
+    Uses Java `\\s`, whose set is U+0009–U+000D + space; RE2 (DuckDB)
+    excludes U+000B, so oracle parity for the queries built on this
+    tokenizer is scoped to VT-free text (true of the corpus; the BPE
+    pre-tokenizer below spells the class explicitly instead because
+    its token-for-token parity claim is unconditional)."""
     t = F.trim(_c(col))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
@@ -128,6 +134,39 @@ def lang_id_expr(col: Column | str, min_hits: int = 1) -> Column:
             (scores[lang] >= min_hits) & (scores[lang] == best), F.lit(lang)
         ).otherwise(expr)
     return expr
+
+
+def word_ngrams_expr(col: Column | str, n: int = 3) -> Column:
+    """Lowercased word n-grams (space-joined) of the text. Whitespace
+    is the explicit class ``[\\t-\\r ]`` (not ``\\s``) so Java regex
+    and RE2 tokenize identically — see BPE_PRETOKEN_RE. Fewer than
+    ``n`` tokens (or NULL text) → empty array."""
+    toks = F.filter(
+        F.split(F.lower(_c(col)), r"[\t-\r ]+"),
+        lambda t: F.length(t) > 0,
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_ratio_expr(col: Column | str, n: int = 3) -> Column:
+    """Duplicate word-n-gram share in [0,1): 1 − distinct/total over
+    the document's n-grams — the classic intra-document repetition
+    quality signal (boilerplate, listicles and generator loops score
+    high). Map-only native exprs, no shuffle; < n tokens → 0.0."""
+    grams = word_ngrams_expr(col, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
 
 
 def fingerprint_expr(col: Column | str) -> Column:

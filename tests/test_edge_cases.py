@@ -118,3 +118,33 @@ def test_bpe_pretoken_vt_parity_with_duckdb(spark):
             f"SELECT regexp_extract_all(?, '{pat}')", [t]
         ).fetchone()[0]
         assert got[i] == exp, (i, t, got[i], exp)
+
+
+def test_repetition_ratio_edges(spark):
+    """Duplicate-trigram share: NULL/blank/short text scores 0.0 (not
+    an error); a fully-repeated phrase scores its exact dup share;
+    all-unique trigrams score 0.0. Values must be the exact doubles
+    the DuckDB oracle computes (1 - distinct/total)."""
+    from idd_hw6_record_linkage_spark.functions import text_analysis as TA
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "one two"),                    # < 3 tokens
+        (3, "a b c a b c a b c"),          # 7 trigrams, 3 distinct
+        (4, "one two three four"),         # all unique
+        (5, "A B c a b C"),                # case-folds to repeats
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {
+        r.i: r.rep
+        for r in df.select(
+            "i", TA.repetition_ratio_expr("text").alias("rep")
+        ).collect()
+    }
+    assert got[0] == 0.0
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+    assert got[3] == 1.0 - 3 / 7
+    assert got[4] == 0.0
+    assert got[5] == 1.0 - 3 / 4  # 4 trigrams: 'a b c' twice, + 2
