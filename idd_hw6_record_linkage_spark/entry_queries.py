@@ -1229,6 +1229,47 @@ SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
 """
 
 
+def ann_ivf_recall(spark, sf_dir):
+    """IVF (spherical-k-means inverted lists) is the data-adaptive ANN
+    scale path next to the data-oblivious hyperplane LSH; like the LSH
+    path its buckets are float-trained and not SQL-reproducible, so
+    the driver gate is the same recall tripwire: recall@5 of ivf_topk
+    against the SQL-reproducible brute-force top-k, thresholded at
+    0.85 (constant expected row from the DuckDB side; a pruning or
+    training regression flips recall_pass to 0 and fails the gate).
+
+    Threshold rationale: the synthetic embeddings are near-uniform
+    random vectors — IVF's adversarial case (no cluster structure, so
+    recall is bounded by the probed candidate fraction; on planted
+    clusters pytest asserts >= 0.9 at a 1/4 fraction). 4 lists x 3
+    probes measures a stable 0.92-1.00 across sf0.001/0.01/0.1 (3
+    trials each); 0.85 keeps margin while any pruning/codebook
+    regression (recall ~0) still trips."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = ann.brute_force_topk(emb, queries, k=5).select("query_id", "vec_id")
+    # Cap opted in (production shape); dials are per-corpus.
+    ivf = ann.ivf_topk(
+        emb, queries, k=5, n_centroids=4, nprobe=3, iters=2,
+        max_bucket_size=1000,
+    ).select("query_id", "vec_id")
+    hits = brute.join(ivf, ["query_id", "vec_id"], "leftsemi").count()
+    total = brute.count()
+    nq = queries.count()
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(nq, 5, int(recall >= 0.85))],
+        "n_queries bigint, k bigint, recall_pass bigint",
+    )
+
+
+SQL_ANN_IVF_RECALL = SQL_ANN_LSH_RECALL
+
+
 # --- events: windowed / sessionized time-series evidence ----------------------
 
 
@@ -1441,6 +1482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_lsh_recall": ann_lsh_recall,
+    "ann_ivf_recall": ann_ivf_recall,
     "events_windowed_agg": events_windowed_agg,
     "events_topk_per_user": events_topk_per_user,
     "events_sessionize": events_sessionize,
@@ -1484,6 +1526,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
     # ann_topk_lsh: hash-bucketed — rows-only; quality bounded by:
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
     "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

@@ -5,9 +5,14 @@
 - lsh_topk: random-hyperplane bucket candidates (multi-table) →
   exact cosine only within buckets → top-k; recall tested against the
   brute-force baseline.
+- ivf_topk: data-adaptive centroid partitions (spherical k-means) —
+  the classic IVF scale path. Corpus rows key to their nearest
+  centroid; queries probe the ``nprobe`` nearest lists. Unlike the
+  data-oblivious hyperplanes, centroids follow the corpus density, so
+  balanced candidate lists need no multi-table union.
 
 The dot products are native (`zip_with` + `aggregate`); only the
-hyperplane bucketing uses a vectorized pandas UDF (numpy matmul over
+bucketing/assignment uses vectorized pandas UDFs (numpy matmul over
 the whole Arrow batch at once).
 """
 
@@ -154,6 +159,156 @@ def _cap_corpus_buckets(
     return (
         ckb.withColumnRenamed("block_key", "bucket"),
         qkb.withColumnRenamed("block_key", "bucket"),
+    )
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd iterations on the unit sphere) for IVF
+    coarse quantization, expressed as DataFrame ops.
+
+    Scale shape: the centroid set is the ONLY thing that ever reaches
+    the driver — k × dim floats per iteration (posexplode → per-
+    (centroid, position) mean, a map-side-combined agg), the classic
+    IVF contract where the coarse codebook is small enough to
+    broadcast. Assignment is one Arrow-batched matmul per partition.
+    At 100 TB train on a sample (``train_fraction``); assignment of
+    the full corpus happens once, inside :func:`ivf_topk`.
+
+    Init is deterministic: the ``n_centroids`` corpus vectors with the
+    smallest ``xxhash64(id)`` (a seeded uniform draw that needs no
+    driver-side randomness). Float means are partition-order sensitive
+    in the last bits, so centroids are reproducible to float noise,
+    not bitwise — callers gate on recall, never on exact buckets.
+    """
+    df = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if train_fraction is not None:
+        df = df.sample(False, train_fraction, seed)
+    seeds = (
+        df.withColumn("__h", F.xxhash64(F.col("__id"), F.lit(seed)))
+        .orderBy("__h", "__id")
+        .limit(n_centroids)
+        .select("__v")
+        .collect()
+    )
+    cents = _normalize_rows(
+        np.array([r["__v"] for r in seeds], dtype=np.float64)
+    )
+    spark = corpus.sparkSession
+    dim = cents.shape[1]
+    for _ in range(max(0, iters)):
+        bc = spark.sparkContext.broadcast(cents)
+
+        @pandas_udf("int")
+        def _nearest(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            m = _normalize_rows(np.vstack(vs.to_numpy()).astype(np.float64))
+            return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+        means = (
+            df.withColumn("__c", _nearest("__v"))
+            .select("__c", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("__c", "__p")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their old centroid
+        touched = set()
+        for r in means:
+            new[r["__c"], r["__p"]] = r["__m"]
+            touched.add(r["__c"])
+        for c in touched:
+            if np.linalg.norm(new[c]) == 0:
+                new[c] = cents[c]
+        cents = _normalize_rows(new)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    train_fraction: float | None = None,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus rows key to their nearest spherical-k-means
+    centroid (inverted lists); each query probes its ``nprobe``
+    nearest lists; exact cosine + window top-k within candidates.
+
+    vs :func:`lsh_topk`: hyperplanes are data-oblivious, so clustered
+    corpora concentrate in few buckets and recall leans on multi-table
+    unions (each table re-keys the corpus). IVF centroids adapt to the
+    density — one corpus keying pass, balanced lists, and ``nprobe``
+    is the recall dial with query-side-only cost. The trade is a
+    training scan (sample it at scale via ``train_fraction``).
+
+    Pass precomputed ``centroids`` to reuse a codebook across calls
+    (the build-once / query-many production shape). ``max_bucket_size``
+    caps hot lists exactly as in lsh_topk (opt-in, same
+    _cap_corpus_buckets recall trade).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, iters, id_col, vec_col, train_fraction, seed
+        )
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast(cmat)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _probes(vs: pd.Series, n: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        p = min(max(1, int(n.iloc[0])), bc.value.shape[0])
+        m = _normalize_rows(np.vstack(vs.to_numpy()).astype(np.float64))
+        sims = m @ bc.value.T
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        # order within the probe set doesn't matter (bucket equi-join)
+        return pd.Series([[str(c) for c in row] for row in top])
+
+    ck = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(_probes(F.col(vec_col), F.lit(1)), 1).alias("bucket"),
+    )
+    qk = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probes(F.col(vec_col), F.lit(nprobe))).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        ck = ck.localCheckpoint(eager=True)
+        ck, qk = _cap_corpus_buckets(
+            ck, qk, id_col, query_id_col, max_bucket_size
+        )
+    cands = ck.join(qk, "bucket").dropDuplicates([query_id_col, id_col])
+    scored = cands.withColumn("cosine", sim_cosine_arrays("q_vec", "c_vec"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
     )
 
 

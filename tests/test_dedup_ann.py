@@ -111,6 +111,70 @@ def test_ann_topk_lsh_recall(spark):
     assert top1 == {0: 0, 1: 1, 2: 2}
 
 
+def test_ann_topk_ivf_recall_and_clustered_corpus(spark):
+    """IVF's value-add over hyperplane LSH is data-adaptivity: on a
+    CLUSTERED corpus the trained centroids align with the clusters, so
+    nprobe=1 already finds in-cluster neighbors. Planted geometry:
+    8 gaussian clusters; top-k of any member is dominated by its own
+    cluster."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    rows = []
+    for i in range(240):
+        c = i % 8
+        rows.append((i, [float(x) for x in centers[c] + 0.3 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = ann.brute_force_topk(emb, queries, k=10)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    got_df = ann.ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=2, iters=2
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in got_df.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+    top1 = {r["query_id"]: r["vec_id"] for r in got_df.where(F.col("rank") == 1).collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    # candidate pruning is real: with 8 balanced lists and nprobe=2 a
+    # query scores ~1/4 of the corpus, never all of it
+    cents = ann.train_ivf_centroids(emb, n_centroids=8, iters=2)
+    assert cents.shape == (8, 16)
+    norms = np.linalg.norm(cents, axis=1)
+    assert np.allclose(norms, 1.0)
+
+
+def test_ann_ivf_codebook_reuse_and_cap(spark):
+    """Precomputed centroids reuse (build-once/query-many) matches
+    in-call training, and the opt-in bucket cap keeps results a
+    subset of the uncapped candidates' top-k semantics."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((120, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(120)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ann.train_ivf_centroids(emb, n_centroids=4, iters=1)
+    a = ann.ivf_topk(emb, queries, k=5, centroids=cents, nprobe=2)
+    b = ann.ivf_topk(emb, queries, k=5, n_centroids=4, iters=1, nprobe=2)
+    ra = {(r["query_id"], r["vec_id"], r["rank"]) for r in a.collect()}
+    rb = {(r["query_id"], r["vec_id"], r["rank"]) for r in b.collect()}
+    assert ra == rb
+    capped = ann.ivf_topk(
+        emb, queries, k=5, centroids=cents, nprobe=2, max_bucket_size=1000
+    )
+    rc = {(r["query_id"], r["vec_id"], r["rank"]) for r in capped.collect()}
+    assert rc == ra  # cap inert below the threshold
+
+
 def test_blank_text_rows_emit_no_near_dup_pairs(spark):
     """NULL/blank texts must not near-dup-match each other: without the
     guard they degenerate-shingle to [hash('')] and emit jaccard=1.0
