@@ -1141,6 +1141,104 @@ FROM documents
 """
 
 
+def url_canonicalize(spark, sf_dir):
+    """Canonical-URL normalization (functions.normalize.
+    canonical_url_expr) — the url-identity step a Common-Crawl dedup
+    pipeline runs before exact url dedup. The testdata tables carry no
+    url column, so BOTH engines construct the same deterministic messy
+    URLs from doc_id (mixed-case scheme/host, default + explicit
+    ports, tracking params, unsorted query, trailing slashes,
+    fragments, plus non-URL fall-through rows) and the DuckDB oracle
+    then RECOMPUTES the whole canonicalization with the identical
+    RE2-safe regexes — value-exact, not a constant-row gate."""
+    import idd_hw6_record_linkage_spark.functions.normalize as N
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    scheme = F.when(i % 4 <= 1, F.lit("HTTP")).otherwise(F.lit("HttpS"))
+    port = (
+        F.when(i % 4 == 0, F.lit(":80"))
+        .when(i % 4 == 1, F.lit(":8080"))
+        .when(i % 4 == 2, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    tail = (
+        F.when(i % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+        .when(i % 3 == 1, F.lit("?fbclid=XYZ&z=9&utm_medium=email"))
+        .otherwise(F.lit("///"))
+    )
+    frag = F.when(i % 5 == 0, F.lit("#Section-2")).otherwise(F.lit(""))
+    messy = F.concat(
+        scheme, F.lit("://WWW.Site"), (i % 7).cast("string"), F.lit(".COM"),
+        port, F.lit("/Path/"), s, tail, frag,
+    )
+    messy = F.when(
+        i % 11 == 0, F.concat(F.lit("  not a url "), s, F.lit(" "))
+    ).otherwise(messy)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.trim(messy).alias("url_raw"),
+        N.canonical_url_expr(messy).alias("url_canonical"),
+    )
+
+
+SQL_URL_CANONICALIZE = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0
+         THEN '  not a url ' || CAST(doc_id AS VARCHAR) || ' '
+    ELSE
+      (CASE WHEN doc_id % 4 <= 1 THEN 'HTTP' ELSE 'HttpS' END)
+      || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':8080'
+          WHEN 2 THEN ':443' ELSE '' END)
+      || '/Path/' || CAST(doc_id AS VARCHAR)
+      || (CASE doc_id % 3 WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+          WHEN 1 THEN '?fbclid=XYZ&z=9&utm_medium=email' ELSE '///' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
+    END AS url
+  FROM documents
+),
+t AS (SELECT doc_id, trim(url) AS u FROM raw),
+x AS (
+  SELECT doc_id, u,
+    lower(coalesce(regexp_extract(u,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(u,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS hostport,
+    coalesce(regexp_extract(u,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1), '') AS rest
+  FROM t
+),
+y AS (
+  SELECT doc_id, u, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS host,
+    regexp_replace(coalesce(regexp_extract(rest, '^([^?]*)', 1), ''),
+      '/+$', '') AS path0,
+    coalesce(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '') AS query
+  FROM x
+),
+z AS (
+  SELECT doc_id, u, scheme, host,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    coalesce(array_to_string(
+      list_sort(list_filter(string_split(query, '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+          '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_[a-z]+|ref)='))),
+      '&'), '') AS qnorm
+  FROM y
+)
+SELECT doc_id, u AS url_raw,
+  CASE WHEN scheme = '' THEN u
+       ELSE scheme || '://' || host || path
+            || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END)
+  END AS url_canonical
+FROM z
+"""
+
+
 # --- ANN ---------------------------------------------------------------------
 
 
@@ -1483,6 +1581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_recall": ann_ivf_recall,
+    "url_canonicalize": url_canonicalize,
     "events_windowed_agg": events_windowed_agg,
     "events_topk_per_user": events_topk_per_user,
     "events_sessionize": events_sessionize,
@@ -1527,6 +1626,7 @@ ORACLES: dict[str, str] = {
     # ann_topk_lsh: hash-bucketed — rows-only; quality bounded by:
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
     "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

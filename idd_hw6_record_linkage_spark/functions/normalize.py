@@ -103,6 +103,56 @@ def url_domain_expr(col: Column | str) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
+# Query params that never identify content (trackers); dropped by
+# canonical_url_expr. Anchored; RE2-safe (no lookaround) so the SAME
+# pattern runs in Spark (Java regex) and DuckDB (RE2) oracles.
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_[a-z]+|ref)="
+
+
+def canonical_url_expr(col: Column | str) -> Column:
+    """Canonical form of a web-page URL — the dedup identity key a
+    Common-Crawl-scale pipeline needs before any content hashing
+    (re-crawls of one page differ by tracking params / fragments /
+    case / default ports, which would defeat exact url dedup):
+
+    - scheme and host lowercased (path case preserved);
+    - default port stripped (:80 for http, :443 for https);
+    - fragment dropped;
+    - tracking query params dropped (TRACKING_PARAM_RE);
+    - surviving query params sorted (order-insensitive identity);
+    - trailing slashes collapsed ('' path -> '/').
+
+    Pure native exprs (regexp + array lambdas) — engine-parity regexes
+    only, so a DuckDB oracle reproduces it token-for-token. Non-URL
+    strings (no scheme://) fall through trimmed-unchanged."""
+    u = F.trim(_c(col).cast("string"))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    rest = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    out = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    )
+    return F.when(scheme == "", u).otherwise(out)
+
+
 def title_tokens_expr(col: Column | str) -> Column:
     """Token-sorted normalized title words (role of `model`): lowercase,
     strip non-alnum per token, drop empties, sort — order-insensitive

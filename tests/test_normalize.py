@@ -143,3 +143,37 @@ def test_url_domain_and_title_tokens(spark):
     assert res[1] == ("sub.site.org", "apple zebra")
     assert res[2][0] == "site00001.example.com"
     assert res[2][1] == ""
+
+
+def test_canonical_url_expr(spark):
+    from idd_hw6_record_linkage_spark.functions.normalize import (
+        canonical_url_expr,
+    )
+
+    cases = [
+        # scheme/host case + default port + fragment + tracking params
+        (0, "HTTP://WWW.Example.COM:80/Path/One?utm_source=x&b=2&a=1#frag",
+         "http://www.example.com/Path/One?a=1&b=2"),
+        (1, "https://Site.org:443/a///", "https://site.org/a"),
+        # non-default port preserved; https :80 NOT stripped
+        (2, "http://h.io:8080/x", "http://h.io:8080/x"),
+        (3, "https://h.io:80/x", "https://h.io:80/x"),
+        # all-tracking query drops the '?'; empty path -> '/'
+        (4, "https://h.io?fbclid=A&gclid=B", "https://h.io/"),
+        # path case preserved, param sort is lexical
+        (5, "http://H.io/KeepCase?z=1&y=2", "http://h.io/KeepCase?y=2&z=1"),
+        # non-URL fall-through, trimmed
+        (6, "  not a url  ", "not a url"),
+        (7, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonical_url_expr("url").alias("c")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
