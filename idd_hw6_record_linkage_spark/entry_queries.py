@@ -1097,6 +1097,61 @@ FROM grams
 """
 
 
+def corpus_quality_filter(spark, sf_dir):
+    """Composed Gopher/C4-style keep/reject decision per document
+    (functions.text_analysis.reject_reason_expr): first failing rule
+    of [length band, punctuation, stopword floor, repetition cap] or
+    keep. The oracle recomputes every signal with the per-signal
+    engine-parity SQL and the same rule order — value-exact."""
+    reason = TA.reject_reason_expr("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        reason.isNull().cast("long").alias("keep"),
+    )
+
+
+SQL_CORPUS_QUALITY_FILTER = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(coalesce(length(text), 0) AS DOUBLE) AS n,
+    (length(text) - length(translate(text, '.,!?-', ''))) AS npunct,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+    list_filter(string_split_regex(lower(text), '[\t-\r ]+'),
+                x -> x <> '') AS rt
+  FROM documents
+), sig AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0 THEN npunct / n ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains(
+                {_sql_str_list(TA.STOPWORDS["en"])}, lower(x))))
+              / CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(rt) >= 3 THEN
+      1.0 - len(list_distinct(list_transform(
+               generate_series(1, len(rt) - 2),
+               i -> rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2])))
+            / CAST(len(rt) - 2 AS DOUBLE)
+    ELSE 0.0 END AS repetition_ratio
+  FROM base
+), reasons AS (
+  SELECT doc_id,
+    CASE WHEN n < 50 THEN 'too_short'
+         WHEN n > 20000 THEN 'too_long'
+         WHEN punct_ratio > 0.10 THEN 'high_punct'
+         WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+         WHEN repetition_ratio > 0.20 THEN 'high_repetition'
+    END AS reject_reason
+  FROM sig
+)
+SELECT doc_id, reject_reason,
+       CAST(reject_reason IS NULL AS BIGINT) AS keep
+FROM reasons
+"""
+
+
 def text_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TA.lang_id_expr("text").alias("lang_guess")
@@ -1182,8 +1237,57 @@ def url_canonicalize(spark, sf_dir):
     )
 
 
-SQL_URL_CANONICALIZE = r"""
-WITH raw AS (
+# Reusable canonicalization chain: given a `raw({id_cols}, url)` CTE
+# body, emits CTEs ending in z({id_cols}, u, scheme, host, path,
+# qnorm); `_SQL_CANON_EXPR` is the final canonical-url expression over
+# z. Mirrors functions.normalize.canonical_url_expr step for step —
+# both oracles below RECOMPUTE the transform, they don't assert
+# constants. coalesce bridges DuckDB's NULL-on-no-match regexp_extract
+# / NULL-on-empty-list array_to_string vs Spark's ''.
+def _sql_canon_chain(raw_sql: str, id_cols: str) -> str:
+    return rf"""
+WITH raw AS ({raw_sql}),
+t AS (SELECT {id_cols}, trim(url) AS u FROM raw),
+x AS (
+  SELECT {id_cols}, u,
+    lower(coalesce(regexp_extract(u,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(u,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS hostport,
+    coalesce(regexp_extract(u,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1), '') AS rest
+  FROM t
+),
+y AS (
+  SELECT {id_cols}, u, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS host,
+    regexp_replace(coalesce(regexp_extract(rest, '^([^?]*)', 1), ''),
+      '/+$', '') AS path0,
+    coalesce(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '') AS query
+  FROM x
+),
+z AS (
+  SELECT {id_cols}, u, scheme, host,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    coalesce(array_to_string(
+      list_sort(list_filter(string_split(query, '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+          '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_[a-z]+|ref)='))),
+      '&'), '') AS qnorm
+  FROM y
+)"""
+
+
+_SQL_CANON_EXPR = """CASE WHEN scheme = '' THEN u
+       ELSE scheme || '://' || host || path
+            || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END)
+  END"""
+
+
+SQL_URL_CANONICALIZE = _sql_canon_chain(
+    """
   SELECT doc_id,
     CASE WHEN doc_id % 11 = 0
          THEN '  not a url ' || CAST(doc_id AS VARCHAR) || ' '
@@ -1198,44 +1302,81 @@ WITH raw AS (
       || (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
     END AS url
   FROM documents
-),
-t AS (SELECT doc_id, trim(url) AS u FROM raw),
-x AS (
-  SELECT doc_id, u,
-    lower(coalesce(regexp_extract(u,
-      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-    lower(coalesce(regexp_extract(u,
-      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS hostport,
-    coalesce(regexp_extract(u,
-      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1), '') AS rest
-  FROM t
-),
-y AS (
-  SELECT doc_id, u, scheme,
-    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-         ELSE hostport END AS host,
-    regexp_replace(coalesce(regexp_extract(rest, '^([^?]*)', 1), ''),
-      '/+$', '') AS path0,
-    coalesce(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '') AS query
-  FROM x
-),
-z AS (
-  SELECT doc_id, u, scheme, host,
-    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-    coalesce(array_to_string(
-      list_sort(list_filter(string_split(query, '&'),
-        p -> p <> '' AND NOT regexp_matches(p,
-          '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_[a-z]+|ref)='))),
-      '&'), '') AS qnorm
-  FROM y
-)
-SELECT doc_id, u AS url_raw,
-  CASE WHEN scheme = '' THEN u
-       ELSE scheme || '://' || host || path
-            || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END)
-  END AS url_canonical
+""",
+    "doc_id",
+) + f"""
+SELECT doc_id, u AS url_raw, {_SQL_CANON_EXPR} AS url_canonical
 FROM z
+"""
+
+
+def recrawl_collapse(spark, sf_dir):
+    """Re-crawl collapse (dedup.collapse_recrawls): url-identity dedup
+    keeping the latest crawl. Both engines synthesize a crawl log from
+    events — each user_id is one page, each of their events a re-crawl
+    whose raw url varies by tracking params / case / fragment /
+    trailing slash (all canonical-equal) — and the oracle recomputes
+    canonicalization + the latest-wins window independently."""
+    ev = _scan(spark, sf_dir, "events", widen=False)
+    k = (F.col("user_id") % 50).cast("string")
+    uid = F.col("user_id").cast("string")
+    v = F.col("event_id") % 3
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW.Site"), k, F.lit(".COM/page/"), uid,
+            F.lit("?utm_source=crawl&ref=x"),
+        ))
+        .when(v == 1, F.concat(
+            F.lit("https://www.site"), k, F.lit(".com/page/"), uid,
+            F.lit("#top"),
+        ))
+        .otherwise(F.concat(
+            F.lit("https://www.site"), k, F.lit(".com/page/"), uid,
+            F.lit("///"),
+        ))
+    )
+    pages = ev.select(
+        "event_id", F.col("ts").alias("warc_ts"), url.alias("url")
+    )
+    out = dedup.collapse_recrawls(
+        pages, "url", "warc_ts", tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "url_canonical",
+        F.col("event_id").alias("kept_event_id"),
+        F.col("warc_ts").alias("kept_ts"),
+        F.col("n_versions").cast("long").alias("n_versions"),
+    )
+
+
+SQL_RECRAWL_COLLAPSE = _sql_canon_chain(
+    """
+  SELECT event_id, ts,
+    CASE event_id % 3
+      WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(user_id % 50 AS VARCHAR)
+        || '.COM/page/' || CAST(user_id AS VARCHAR)
+        || '?utm_source=crawl&ref=x'
+      WHEN 1 THEN 'https://www.site' || CAST(user_id % 50 AS VARCHAR)
+        || '.com/page/' || CAST(user_id AS VARCHAR) || '#top'
+      ELSE 'https://www.site' || CAST(user_id % 50 AS VARCHAR)
+        || '.com/page/' || CAST(user_id AS VARCHAR) || '///'
+    END AS url
+  FROM events
+""",
+    "event_id, ts",
+) + f"""
+, c AS (
+  SELECT event_id, ts, {_SQL_CANON_EXPR} AS url_canonical FROM z
+), r AS (
+  SELECT url_canonical, event_id, ts,
+    row_number() OVER (PARTITION BY url_canonical
+                       ORDER BY ts DESC, event_id ASC) AS rn,
+    count(*) OVER (PARTITION BY url_canonical) AS nv
+  FROM c
+)
+SELECT url_canonical, event_id AS kept_event_id, ts AS kept_ts,
+       CAST(nv AS BIGINT) AS n_versions
+FROM r WHERE rn = 1
 """
 
 
@@ -1582,6 +1723,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_recall": ann_ivf_recall,
     "url_canonicalize": url_canonicalize,
+    "recrawl_collapse": recrawl_collapse,
+    "corpus_quality_filter": corpus_quality_filter,
     "events_windowed_agg": events_windowed_agg,
     "events_topk_per_user": events_topk_per_user,
     "events_sessionize": events_sessionize,
@@ -1627,6 +1770,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "url_canonicalize": SQL_URL_CANONICALIZE,
+    "recrawl_collapse": SQL_RECRAWL_COLLAPSE,
+    "corpus_quality_filter": SQL_CORPUS_QUALITY_FILTER,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
     "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

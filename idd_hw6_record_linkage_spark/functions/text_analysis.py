@@ -169,6 +169,38 @@ def repetition_ratio_expr(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def reject_reason_expr(
+    col: Column | str,
+    min_chars: int = 50,
+    max_chars: int = 20000,
+    max_punct: float = 0.10,
+    min_stopword: float = 0.01,
+    max_repetition: float = 0.20,
+    lang: str = "en",
+) -> Column:
+    """Composed Gopher/C4-style corpus filter: FIRST failing rule's
+    name, or NULL when the document is kept. Fixed rule order (cheap
+    to expensive): too_short, too_long, high_punct, low_stopword,
+    high_repetition. Each signal is the exact expression its
+    standalone operator uses, so the composed filter inherits their
+    engine-parity guarantees. Map-only; NULL text → too_short."""
+    n = F.coalesce(F.length(_c(col)), F.lit(0))
+    return (
+        F.when(n < min_chars, F.lit("too_short"))
+        .when(n > max_chars, F.lit("too_long"))
+        .when(punct_ratio_expr(col) > max_punct, F.lit("high_punct"))
+        .when(
+            stopword_ratio_expr(col, lang) < min_stopword,
+            F.lit("low_stopword"),
+        )
+        .when(
+            repetition_ratio_expr(col) > max_repetition,
+            F.lit("high_repetition"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def fingerprint_expr(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 over the normalized
     token stream (whitespace-insensitive, case-insensitive)."""

@@ -52,6 +52,46 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(w, id_col, "leftsemi")
 
 
+def collapse_recrawls(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Url-identity dedup — the FIRST dedup stage of a Common-Crawl
+    pipeline, before any content hashing: re-crawls of one page (same
+    canonical url, differing by tracking params / fragments / case /
+    default ports / crawl time) collapse to the LATEST crawl.
+
+    Output = the kept rows with two extra columns: ``url_canonical``
+    (functions.normalize.canonical_url_expr) and ``n_versions`` (how
+    many raw rows collapsed into this one).
+
+    Scale shape: one shuffle, partitioned by the full canonical url —
+    NOT the domain — so mega-domains do not skew; a partition key only
+    repeats as often as that exact page was re-crawled (bounded by
+    crawl frequency). Window row_number + count over the same
+    partitioning reuse one Exchange. Deterministic ties: ts desc, then
+    ``tiebreak_cols`` asc (default: the raw url)."""
+    from idd_hw6_record_linkage_spark.functions.normalize import (
+        canonical_url_expr,
+    )
+    from pyspark.sql.window import Window
+
+    df = pages.withColumn("url_canonical", canonical_url_expr(url_col))
+    ties = [F.col(c).asc() for c in (tiebreak_cols or [url_col])]
+    w = Window.partitionBy("url_canonical").orderBy(
+        F.col(ts_col).desc(), *ties
+    )
+    wc = Window.partitionBy("url_canonical")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count("*").over(wc))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 

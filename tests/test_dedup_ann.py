@@ -263,3 +263,33 @@ def test_ann_multiprobe_recall_dial(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1  # probes only add candidate buckets
     assert r4 >= 0.95, (r1, r4)
+
+
+def test_collapse_recrawls(spark):
+    """Latest crawl wins per canonical url; n_versions counts the
+    collapsed set; canonical-distinct urls never merge; non-URL rows
+    fall through as their own identity."""
+    import datetime as dt
+
+    T = dt.datetime
+    rows = [
+        # one page, three canonical-equal re-crawls
+        (1, T(2024, 1, 1), "HTTPS://WWW.A.COM/p?utm_source=x"),
+        (2, T(2024, 1, 3), "https://www.a.com/p#frag"),
+        (3, T(2024, 1, 2), "https://www.a.com/p/"),
+        # different page on the same domain
+        (4, T(2024, 1, 1), "https://www.a.com/q"),
+        # non-URL
+        (5, T(2024, 1, 1), "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, warc_ts timestamp, url string")
+    out = {
+        r["url_canonical"]: (r["event_id"], r["n_versions"])
+        for r in dedup.collapse_recrawls(
+            df, "url", "warc_ts", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert out["https://www.a.com/p"] == (2, 3)  # latest ts kept
+    assert out["https://www.a.com/q"] == (4, 1)
+    assert out["not a url"] == (5, 1)
+    assert len(out) == 3

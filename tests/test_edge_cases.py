@@ -148,3 +148,35 @@ def test_repetition_ratio_edges(spark):
     assert got[3] == 1.0 - 3 / 7
     assert got[4] == 0.0
     assert got[5] == 1.0 - 3 / 4  # 4 trigrams: 'a b c' twice, + 2
+
+
+def test_reject_reason_expr_all_rules(spark):
+    """Each rule of the composed quality filter fires, in order, on a
+    crafted row; rule order means an early reject masks later ones."""
+    from idd_hw6_record_linkage_spark.functions import text_analysis as TA
+
+    good = ("the data pipeline reads a table and the job writes the "
+            "result to storage while the scheduler keeps track of it")
+    rows = [
+        (0, good),                                   # keep
+        (1, "tiny"),                                 # too_short
+        (2, None),                                   # NULL -> too_short
+        (3, "x" * 30000),                            # too_long
+        (4, "the " + ". , ! ? - " * 20 + "the end of it"),   # high_punct
+        (5, "zqx wvb jkl " * 12),                    # low_stopword
+        (6, ("the cat sat on the mat and " * 20) + "the cat sat"),  # repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in df.select(
+            "doc_id", TA.reject_reason_expr("text").alias("reason")
+        ).collect()
+    }
+    assert got[0] is None
+    assert got[1] == "too_short"
+    assert got[2] == "too_short"
+    assert got[3] == "too_long"
+    assert got[4] == "high_punct"
+    assert got[5] == "low_stopword"
+    assert got[6] == "high_repetition", got[6]
