@@ -70,6 +70,27 @@ class PipelineConfig:
     # with a clear message instead of a Py4J stack).
     table_format: str = "parquet"
     iceberg_namespace: str = "linkage"
+    # Collapse re-crawls (same canonical url, differing tracking
+    # params / case / fragments / crawl time) to the latest crawl
+    # BEFORE normalize — the url-identity dedup stage a Common-Crawl
+    # corpus needs ahead of content blocking. Off by default: the
+    # reference has no such stage, and the per-url byte-identical
+    # text invariant is defined over raw urls.
+    collapse_recrawls: bool = False
+
+
+def _maybe_collapse(pages: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    if not cfg.collapse_recrawls:
+        return pages
+    from idd_hw6_record_linkage_spark.operators.dedup import (
+        collapse_recrawls as _collapse,
+    )
+
+    # Keep the raw url as the record id (one survivor per canonical
+    # url): the per-url invariants downstream stay byte-exact.
+    return _collapse(pages, "url", "warc_ts").drop(
+        "url_canonical", "n_versions"
+    )
 
 
 def normalize_plan(pages: DataFrame) -> DataFrame:
@@ -211,7 +232,7 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
     # Persist the fan-out points: records feeds key-gen + both sides of
     # the feature joins; keys feeds the size-count and both sides of the
     # self-join (projection differences defeat ReuseExchange there).
-    records = normalize_plan(pages).persist()
+    records = normalize_plan(_maybe_collapse(pages, cfg)).persist()
     raw_keys = block_keys_plan(records, cfg).persist()
     keys = blocking.cap_blocks(
         raw_keys, cfg.max_block_size, salt_col="salt_basis"
@@ -258,8 +279,8 @@ def link_sources(
     record_linkage.py:528-536)."""
     cfg = cfg or PipelineConfig(workdir="/tmp/_unused", run_id="link")
     _validate_scorer(cfg, labeled_pairs)
-    rec_l = normalize_plan(pages_l).persist()
-    rec_r = normalize_plan(pages_r).persist()
+    rec_l = normalize_plan(_maybe_collapse(pages_l, cfg)).persist()
+    rec_r = normalize_plan(_maybe_collapse(pages_r, cfg)).persist()
     # ONE oversized-block list over the union of both sources: capping
     # each side independently would salt hot keys on one side only and
     # silently drop their cross-source candidates.
@@ -350,7 +371,10 @@ class LinkagePipeline:
     # --- stages ---------------------------------------------------------
 
     def normalize(self, pages: DataFrame) -> DataFrame:
-        return self._run_stage("normalize", lambda: normalize_plan(pages))
+        return self._run_stage(
+            "normalize",
+            lambda: normalize_plan(_maybe_collapse(pages, self.cfg)),
+        )
 
     def pairs(self, records: DataFrame) -> DataFrame:
         def build():

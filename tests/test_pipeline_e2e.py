@@ -132,3 +132,42 @@ def test_run_in_memory_release_unpersists(spark):
     assert not cm.isEmpty()
     res["release"]()
     assert cm.isEmpty()
+
+
+def test_pipeline_collapse_recrawls_flag(spark):
+    """cfg.collapse_recrawls=True: tracking-param re-crawl variants of
+    every page (older warc_ts) collapse to the original before
+    blocking — record count and clusters match the no-variant run."""
+    from idd_hw6_record_linkage_spark.sources.generator import (
+        expected_clusters,
+        generate_raw,
+    )
+    from idd_hw6_record_linkage_spark.plans.pipeline import (
+        PipelineConfig,
+        run_in_memory,
+    )
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        pairwise_cluster_f1,
+    )
+
+    raw = generate_raw(spark, 120).cache()
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    n_pages = pages.count()
+    dup = pages.select(
+        F.concat(F.col("url"), F.lit("?utm_source=dup&fbclid=x")).alias("url"),
+        F.expr("warc_ts - INTERVAL 1 HOUR").alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    noisy = pages.unionByName(dup)
+    cfg = PipelineConfig(workdir="/tmp/_unused", run_id="collapse",
+                         collapse_recrawls=True)
+    res = run_in_memory(spark, noisy, cfg)
+    try:
+        assert res["records"].count() == n_pages
+        # survivors are the LATEST crawls = the original raw urls
+        assert res["records"].where(
+            F.col("url").contains("utm_source")).count() == 0
+        prf = pairwise_cluster_f1(res["clusters"], expected_clusters(raw))
+        assert prf.f1 == 1.0, prf
+    finally:
+        res["release"]()
