@@ -90,6 +90,8 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh_prod",
     "text_quality",
     "text_lang_id",
+    "corpus_quality_filter",
+    "recrawl_collapse",
     "ann_topk_brute",
     "tpch_agg_pricing",
     "join_topk_customers",
