@@ -204,6 +204,11 @@ def train_ivf_centroids(
         .select("__v")
         .collect()
     )
+    if not seeds:
+        raise ValueError(
+            "train_ivf_centroids: corpus (after train_fraction sampling) "
+            "is empty — no seed vectors to initialize centroids"
+        )
     cents = _normalize_rows(
         np.array([r["__v"] for r in seeds], dtype=np.float64)
     )

@@ -72,7 +72,12 @@ def collapse_recrawls(
     repeats as often as that exact page was re-crawled (bounded by
     crawl frequency). Window row_number + count over the same
     partitioning reuse one Exchange. Deterministic ties: ts desc, then
-    ``tiebreak_cols`` asc (default: the raw url)."""
+    ``tiebreak_cols`` asc (default: the raw url).
+
+    NULL urls all canonicalize to NULL and therefore collapse to ONE
+    surviving row (SQL window semantics: NULL is one partition) —
+    filter degenerate NULL-url rows out beforehand if they must all
+    survive."""
     from idd_hw6_record_linkage_spark.functions.normalize import (
         canonical_url_expr,
     )

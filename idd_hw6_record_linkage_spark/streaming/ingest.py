@@ -38,12 +38,33 @@ def read_pages_stream(spark: SparkSession, path: str,
     return reader.load(path)
 
 
-def normalized_stream(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Incremental normalize + streaming exact-dedup on url: late
-    re-crawls of the same url within the watermark are dropped."""
+def normalized_stream(pages_stream: DataFrame, watermark: str = "1 hour",
+                      dedup_on: str = "url") -> DataFrame:
+    """Incremental normalize + streaming exact-dedup: late re-crawls
+    of the same page within the watermark are dropped.
+
+    ``dedup_on="url"`` (default) dedups on the raw url.
+    ``dedup_on="canonical"`` dedups on the canonical url (the
+    streaming analogue of the batch ``collapse_recrawls`` stage:
+    tracking-param / case / fragment re-crawl variants within the
+    watermark collapse to the first arrival; the emitted rows carry
+    the extra ``url_canonical`` column). Streaming state cannot do
+    latest-wins reordering — arrival order decides, the batch
+    operator remains the authority on replays."""
     out = normalize_plan(pages_stream)
+    if dedup_on == "canonical":
+        from idd_hw6_record_linkage_spark.functions.normalize import (
+            canonical_url_expr,
+        )
+
+        out = out.withColumn("url_canonical", canonical_url_expr("url"))
+        key = ["url_canonical"]
+    elif dedup_on == "url":
+        key = ["url"]
+    else:
+        raise ValueError(f"dedup_on must be 'url' or 'canonical': {dedup_on}")
     return out.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
-        ["url"]
+        key
     )
 
 

@@ -313,3 +313,37 @@ def test_incremental_candidates_watermark_bounds_state(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.id_new, r.id_old) for r in spark.read.parquet(out).collect()}
     assert got == exp
+
+
+def test_streaming_canonical_dedup(spark, tmp_path):
+    """dedup_on='canonical': canonical-equal re-crawl variants inside
+    the watermark collapse to one arrival; dedup_on='url' keeps both."""
+    import datetime as dt
+
+    from idd_hw6_record_linkage_spark.streaming import ingest
+
+    T = dt.datetime
+    rows = [
+        ("https://a.com/p?utm_source=x", T(2024, 1, 1, 10, 0), b"<title>t</title>", "body one", "en"),
+        ("https://a.com/p#frag", T(2024, 1, 1, 10, 1), b"<title>t</title>", "body one", "en"),
+        ("https://a.com/q", T(2024, 1, 1, 10, 2), b"<title>u</title>", "body two", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    src = str(tmp_path / "src")
+    pages.write.mode("overwrite").parquet(src)
+
+    for mode, want in [("canonical", 2), ("url", 3)]:
+        out = str(tmp_path / f"out_{mode}")
+        ckpt = str(tmp_path / f"ckpt_{mode}")
+        stream = ingest.read_pages_stream(spark, src)
+        q = ingest.run_to_parquet(
+            ingest.normalized_stream(stream, watermark="1 hour", dedup_on=mode),
+            out, ckpt,
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == want, mode
+        if mode == "canonical":
+            assert "url_canonical" in got.columns
