@@ -27,7 +27,9 @@ Operator coverage mapping (SURVEY §2):
                                      dedup_doc_clusters,
                                      dedup_cluster_stats,
                                      dedup_minhash_lsh_prod (rows-only,
-                                     gated by dedup_minhash_capped_recall)
+                                     gated by dedup_minhash_capped_recall),
+                                     dedup_lines (boilerplate lines)
+- PII redaction:                     pii_redact
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1152,6 +1154,161 @@ FROM reasons
 """
 
 
+_BANNER = "Accept cookies to continue"
+_FOOTER = "Copyright Example Site 2024"
+
+
+def _docs_with_boilerplate(spark, sf_dir):
+    """documents with deterministic boilerplate lines injected: every
+    doc_id % 3 == 0 gets a cookie-banner first line, every
+    doc_id % 5 == 0 a copyright last line. The testdata corpus has no
+    newlines and all-distinct texts, so without injection line-level
+    dedup has nothing to strip; the oracle performs the identical
+    injection, so the strip decision is still recomputed end-to-end."""
+    return _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BANNER + "\n")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + _FOOTER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def dedup_lines(spark, sf_dir):
+    """Line-level boilerplate removal (operators.line_dedup): strip
+    every line occurring in >= 25 distinct documents, keep per-doc
+    line counts and the cleaned text. md5_60 line keys so the oracle
+    recomputes the exact key space (minhash md5-basis trick)."""
+    from idd_hw6_record_linkage_spark.operators import line_dedup
+
+    out = line_dedup.remove_boilerplate_lines(
+        _docs_with_boilerplate(spark, sf_dir),
+        "doc_id",
+        "text",
+        sep="\n",
+        min_docs=25,
+        base="md5_60",
+    )
+    return out.select("doc_id", "n_lines", "n_removed", "clean_text")
+
+
+SQL_DEDUP_LINES = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN '{_BANNER}' || chr(10) ELSE '' END)
+    || text ||
+    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_FOOTER}' ELSE '' END)
+    AS text
+  FROM documents WHERE text IS NOT NULL
+), l AS (
+  SELECT doc_id, u.line_no, u.line FROM (
+    SELECT doc_id,
+      unnest(list_transform(
+        range(1, len(string_split(text, chr(10))) + 1),
+        i -> {{'line_no': i, 'line': string_split(text, chr(10))[i]}}
+      )) AS u
+    FROM docs2
+  )
+), k AS (
+  SELECT doc_id, line_no, line,
+    ('0x' || substr(md5(trim(line)), 1, 15))::BIGINT AS line_key,
+    length(trim(line)) >= 1 AS countable
+  FROM l
+), boiler AS (
+  SELECT line_key FROM k WHERE countable
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 25
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(coalesce(sum(CASE WHEN line_key IN (SELECT line_key FROM boiler)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+  coalesce(array_to_string(
+    list(line ORDER BY line_no)
+      FILTER (WHERE line_key NOT IN (SELECT line_key FROM boiler)),
+    chr(10)), '') AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+
+def pii_redact(spark, sf_dir):
+    """PII scrub (functions.pii): emails, IPv4s, and phone-shaped
+    digit runs replaced with typed tokens, plus per-category match
+    counts. Deterministic PII is injected per doc (the corpus has
+    none), identically on both sides; the oracle recomputes the
+    redaction with the same engine-parity regexes."""
+    from idd_hw6_record_linkage_spark.functions import pii
+
+    injected = F.concat(
+        F.lit("Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1555019"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" now. "),
+        F.col("text"),
+    )
+    counts = pii.pii_counts_exprs(injected)
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            pii.redact_pii_expr(injected).alias("redacted"),
+            counts["n_emails"].alias("n_emails"),
+            counts["n_ips"].alias("n_ips"),
+            counts["n_phones"].alias("n_phones"),
+        )
+    )
+
+
+# NOTE: patterns below mirror functions/pii.py (EMAIL_RE/IPV4_RE/
+# PHONE_RE) verbatim — ASCII classes only, no \\d/\\w/\\s, valid in
+# both Java regex and RE2 with identical semantics.
+_SQL_PII = r"""
+WITH injected AS (
+  SELECT doc_id,
+    'Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1555019'
+      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now. ' || text
+      AS t0
+  FROM documents WHERE text IS NOT NULL
+), step AS (
+  SELECT doc_id, t0,
+    regexp_replace(t0, '{EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM injected
+), step2 AS (
+  SELECT doc_id, t0, t1,
+    regexp_replace(t1, '{IPV4}', '<IP>', 'g') AS t2
+  FROM step
+)
+SELECT doc_id,
+  regexp_replace(t2, '{PHONE}', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(t0, '{EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t1, '{IPV4}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '{PHONE}')) AS BIGINT) AS n_phones
+FROM step2
+"""
+
+
+def _sql_pii_redact() -> str:
+    from idd_hw6_record_linkage_spark.functions import pii
+
+    return (
+        _SQL_PII.replace("{EMAIL}", pii.EMAIL_RE)
+        .replace("{IPV4}", pii.IPV4_RE)
+        .replace("{PHONE}", pii.PHONE_RE)
+    )
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
 def text_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TA.lang_id_expr("text").alias("lang_guess")
@@ -1725,6 +1882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": url_canonicalize,
     "recrawl_collapse": recrawl_collapse,
     "corpus_quality_filter": corpus_quality_filter,
+    "dedup_lines": dedup_lines,
+    "pii_redact": pii_redact,
     "events_windowed_agg": events_windowed_agg,
     "events_topk_per_user": events_topk_per_user,
     "events_sessionize": events_sessionize,
@@ -1772,6 +1931,8 @@ ORACLES: dict[str, str] = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "recrawl_collapse": SQL_RECRAWL_COLLAPSE,
     "corpus_quality_filter": SQL_CORPUS_QUALITY_FILTER,
+    "dedup_lines": SQL_DEDUP_LINES,
+    "pii_redact": SQL_PII_REDACT,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
     "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
