@@ -30,6 +30,7 @@ Operator coverage mapping (SURVEY §2):
                                      gated by dedup_minhash_capped_recall),
                                      dedup_lines (boilerplate lines)
 - PII redaction:                     pii_redact
+- corpus sampling / shard packing:   corpus_sample, corpus_pack_shards
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1309,6 +1310,90 @@ def _sql_pii_redact() -> str:
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+_SHARD_TOKENS = 10_000
+
+# fate = first 60 md5 bits over 2^60 — exact in IEEE doubles on both
+# engines (int64->double rounds identically; /2^60 is exact).
+_SQL_FATE = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+
+def corpus_sample(spark, sf_dir):
+    """Deterministic per-source corpus mixing (operators.sampling):
+    keep a row iff its md5-fate < its source's rate. The oracle
+    recomputes the identical fate and rate table — value-exact,
+    and stable under any repartitioning by construction."""
+    from idd_hw6_record_linkage_spark.operators import sampling
+
+    out = sampling.sample_corpus(
+        _docs(spark, sf_dir),
+        "doc_id",
+        _MIX_RATES,
+        source_col="source",
+        default_rate=_MIX_DEFAULT,
+    )
+    return out.select(
+        "doc_id", "source", F.round("sample_fate", 6).alias("sample_fate")
+    )
+
+
+SQL_CORPUS_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, source, {_SQL_FATE} AS fate FROM documents
+  WHERE doc_id IS NOT NULL
+), rated AS (
+  SELECT doc_id, source, fate,
+    CASE source
+      {" ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())}
+      ELSE {_MIX_DEFAULT} END AS rate
+  FROM base
+)
+SELECT doc_id, source, CAST(round(fate, 6) AS DOUBLE) AS sample_fate
+FROM rated WHERE fate < rate
+"""
+
+
+def corpus_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (operators.sampling.pack_shards):
+    deterministic fate-ordered running token sum, floor-divided by the
+    shard budget — computed as a distributed two-pass prefix sum (per-
+    bucket offsets + within-bucket windows), never a single-partition
+    global window. The oracle recomputes with the plain global window,
+    proving the two-pass decomposition exact."""
+    from idd_hw6_record_linkage_spark.operators import sampling
+
+    out = sampling.pack_shards(
+        _docs(spark, sf_dir), "doc_id", "n_chars", _SHARD_TOKENS
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_tokens"),
+        "shard_id",
+        "shard_pos",
+    )
+
+
+SQL_CORPUS_PACK_SHARDS = f"""
+WITH base AS (
+  SELECT doc_id, n_chars, {_SQL_FATE} AS fate FROM documents
+  WHERE doc_id IS NOT NULL
+), o AS (
+  SELECT doc_id, n_chars,
+    sum(n_chars) OVER (ORDER BY fate, doc_id) - n_chars AS tok_before
+  FROM base
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+  CAST(floor(tok_before / {_SHARD_TOKENS}.0) AS BIGINT) AS shard_id,
+  CAST(tok_before - CAST(floor(tok_before / {_SHARD_TOKENS}.0) AS BIGINT)
+       * {_SHARD_TOKENS} AS BIGINT) AS shard_pos
+FROM o
+"""
+
+
 def text_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TA.lang_id_expr("text").alias("lang_guess")
@@ -1884,6 +1969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_filter": corpus_quality_filter,
     "dedup_lines": dedup_lines,
     "pii_redact": pii_redact,
+    "corpus_sample": corpus_sample,
+    "corpus_pack_shards": corpus_pack_shards,
     "events_windowed_agg": events_windowed_agg,
     "events_topk_per_user": events_topk_per_user,
     "events_sessionize": events_sessionize,
@@ -1933,6 +2020,8 @@ ORACLES: dict[str, str] = {
     "corpus_quality_filter": SQL_CORPUS_QUALITY_FILTER,
     "dedup_lines": SQL_DEDUP_LINES,
     "pii_redact": SQL_PII_REDACT,
+    "corpus_sample": SQL_CORPUS_SAMPLE,
+    "corpus_pack_shards": SQL_CORPUS_PACK_SHARDS,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
     "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
