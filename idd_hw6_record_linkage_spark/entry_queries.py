@@ -31,6 +31,7 @@ Operator coverage mapping (SURVEY §2):
                                      dedup_lines (boilerplate lines)
 - PII redaction:                     pii_redact
 - corpus sampling / shard packing:   corpus_sample, corpus_pack_shards
+- duplicated-span (exact substring): text_span_dup
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1310,6 +1311,53 @@ def _sql_pii_redact() -> str:
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+def text_span_dup(spark, sf_dir):
+    """Cross-document verbatim-span profile (operators.span_dedup):
+    3-token rolling windows, a window is duplicated iff its hash
+    occurs in >= 2 distinct docs; per-doc counts + dup_ratio. The
+    md5_60 window basis reproduces in DuckDB — value-exact. Window=3
+    here because the testdata vocabulary is small enough for natural
+    cross-doc span collisions; production default is window=20."""
+    from idd_hw6_record_linkage_spark.operators import span_dedup
+
+    return span_dedup.span_dup_stats(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        window=3,
+        min_docs=2,
+        base="md5_60",
+    )
+
+
+SQL_TEXT_SPAN_DUP = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), wins AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, len(w) - 3 + 1),
+      i -> ('0x' || substr(md5(
+              array_to_string(list_slice(w, i + 1, i + 3), ' ')
+            ), 1, 15))::BIGINT)) AS win_key
+  FROM d WHERE len(w) >= 3
+), freq AS (
+  SELECT win_key, count(DISTINCT doc_id) AS doc_freq FROM wins GROUP BY 1
+), per AS (
+  SELECT wins.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN freq.doc_freq >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM wins JOIN freq USING (win_key) GROUP BY 1
+)
+SELECT documents.doc_id,
+  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+  CAST(round(CASE WHEN coalesce(per.n_windows, 0) > 0
+    THEN per.n_dup / CAST(per.n_windows AS DOUBLE) ELSE 0.0 END, 6)
+    AS DOUBLE) AS dup_ratio
+FROM documents LEFT JOIN per ON documents.doc_id = per.doc_id
+"""
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIX_DEFAULT = 0.05
 _SHARD_TOKENS = 10_000
@@ -1971,6 +2019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": pii_redact,
     "corpus_sample": corpus_sample,
     "corpus_pack_shards": corpus_pack_shards,
+    "text_span_dup": text_span_dup,
     "events_windowed_agg": events_windowed_agg,
     "events_topk_per_user": events_topk_per_user,
     "events_sessionize": events_sessionize,
@@ -2022,6 +2071,7 @@ ORACLES: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "corpus_sample": SQL_CORPUS_SAMPLE,
     "corpus_pack_shards": SQL_CORPUS_PACK_SHARDS,
+    "text_span_dup": SQL_TEXT_SPAN_DUP,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
     "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
