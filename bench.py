@@ -92,6 +92,8 @@ HEADLINE_QUERIES = [
     "text_lang_id",
     "corpus_quality_filter",
     "recrawl_collapse",
+    "dedup_lines",
+    "text_span_dup",
     "ann_topk_brute",
     "tpch_agg_pricing",
     "join_topk_customers",

@@ -89,7 +89,12 @@ def remove_boilerplate_lines(
     frequency distribution — bounded by the number of distinct
     boilerplate strings, not the corpus), so the strip adds no shuffle;
     only the per-doc rebuild groups. NULL text yields n_lines=1 over
-    the empty string per Spark split semantics."""
+    the empty string per Spark split semantics.
+
+    The line explode runs twice (under the freq agg and under the
+    strip) — deliberate: both are map-side re-derivations from the
+    scan, cheaper at corpus scale than materializing the exploded
+    line table (see span_dedup.span_dup_stats for the same call)."""
     join_sep = sep if len(sep) == 1 else "\n"
     lines = split_lines(df, id_col, text_col, sep)
     keyed = lines.withColumn("line_key", _line_key(F.trim(F.col("line")), base))

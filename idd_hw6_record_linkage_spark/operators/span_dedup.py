@@ -94,14 +94,25 @@ def span_dup_stats(
     stride: int = 1,
     min_docs: int = 2,
     base: str = "xxhash64",
+    freq: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span profile: (id, n_windows,
     n_dup_windows, dup_ratio) where a window is duplicated iff its
     span hash occurs in >= ``min_docs`` distinct docs. Documents with
     fewer than ``window`` tokens (or NULL text) are kept with zero
-    windows and ratio 0.0 — they carry no verbatim-copy evidence."""
+    windows and ratio 0.0 — they carry no verbatim-copy evidence.
+
+    DELIBERATE two-pass shape: the window explode runs twice (once
+    under the doc-freq aggregation, once under the join) because the
+    exploded window table is ~window/stride × the corpus — caching it
+    costs more than re-deriving it from the scan, and the two
+    consumers shuffle different projections so Spark cannot reuse one
+    Exchange. In a multi-job production pipeline, compute
+    ``span_doc_freq`` once, persist THAT (it is the aggregated, much
+    smaller table), and pass it as ``freq``."""
     wins = token_windows(df, id_col, text_col, window, stride, base)
-    freq = span_doc_freq(wins, id_col)
+    if freq is None:
+        freq = span_doc_freq(wins, id_col)
     per_doc = (
         wins.join(freq, "win_key")
         .groupBy(id_col)

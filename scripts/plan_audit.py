@@ -49,6 +49,11 @@ AUDITED = [
     "dedup_cluster_stats",
     "text_quality",
     "text_lang_id",
+    "text_span_dup",
+    "dedup_lines",
+    "pii_redact",
+    "corpus_sample",
+    "corpus_pack_shards",
     "ann_topk_brute",
     "ann_topk_lsh",
     "pair_tfidf_cosine",

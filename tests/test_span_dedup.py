@@ -91,6 +91,31 @@ def test_span_bases_agree(spark):
     assert a == b
 
 
+def test_span_precomputed_freq_reused(spark):
+    """Passing a persisted freq table skips recomputation and gives
+    the same answer — the production two-job shape."""
+    docs = [(1, "a b c d x"), (2, "z a b c d"), (3, "p q r s t")]
+    df = _corpus(spark, docs)
+    wins = span_dedup.token_windows(df, "id", "text", window=3)
+    freq = span_dedup.span_doc_freq(wins, "id").cache()
+    with_freq = sorted(
+        map(
+            tuple,
+            span_dedup.span_dup_stats(
+                df, "id", "text", window=3, freq=freq
+            ).collect(),
+        )
+    )
+    without = sorted(
+        map(
+            tuple,
+            span_dedup.span_dup_stats(df, "id", "text", window=3).collect(),
+        )
+    )
+    freq.unpersist()
+    assert with_freq == without
+
+
 def test_span_rejects_bad_params(spark):
     df = _corpus(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match=">= 1"):
