@@ -32,6 +32,8 @@ Operator coverage mapping (SURVEY §2):
 - PII redaction:                     pii_redact
 - corpus sampling / shard packing:   corpus_sample, corpus_pack_shards
 - duplicated-span (exact substring): text_span_dup
+- trainable quality classifier:      quality_model_gate (tripwire)
+- compression-ratio quality signal:  text_compression_gate (tripwire)
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1311,6 +1313,93 @@ def _sql_pii_redact() -> str:
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+def quality_model_gate(spark, sf_dir):
+    """Trainable-quality-classifier lifecycle tripwire (the
+    ann_lsh_recall pattern — flags, not a value recomputation): build
+    a deterministic labeled corpus from documents (md5-fate picks
+    ~half the docs as junk and mangles their text to one repeated
+    token), train the LR on a fate-split 70%, evaluate on the held-out
+    30%, and emit pass flags. Catches regressions anywhere in the
+    distributed featurize → fit → score → evaluate path."""
+    from idd_hw6_record_linkage_spark.operators import quality_model, sampling
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    lab = sampling.hash_fate(F.col("doc_id"), salt="qlabel")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    junk_text = F.array_join(F.array_repeat(F.element_at(toks, 1), 40), " ")
+    d = docs.select(
+        "doc_id",
+        F.when(lab < 0.5, junk_text).otherwise(F.col("text")).alias("text"),
+        (lab >= 0.5).cast("int").alias("label"),
+    )
+    feat = quality_model.doc_features(d, "text")
+    split = sampling.hash_fate(F.col("doc_id"), salt="qsplit")
+    model = quality_model.train_quality_lr(feat.where(split < 0.7), "label")
+    m = quality_model.evaluate_quality(
+        model, feat.where(split >= 0.7), "label"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n"] > 0),
+                int(m["auc"] >= 0.9),
+                int(m["accuracy"] >= 0.85),
+            )
+        ],
+        "has_rows long, auc_pass long, acc_pass long",
+    )
+
+
+SQL_QUALITY_MODEL_GATE = """
+SELECT CAST(1 AS BIGINT) AS has_rows, CAST(1 AS BIGINT) AS auc_pass,
+       CAST(1 AS BIGINT) AS acc_pass
+"""
+
+
+def text_compression_gate(spark, sf_dir):
+    """Compression-ratio quality signal tripwire (no SQL zlib exists,
+    so this is the flags pattern): md5-fate picks ~half the docs and
+    mangles them to one repeated token; the deflate ratio of the
+    mangled class must land clearly below the natural class, and the
+    signal must be Arrow-batched (plan-asserted in pytest)."""
+    from idd_hw6_record_linkage_spark.functions import compress_signal
+    from idd_hw6_record_linkage_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    fate = sampling.hash_fate(F.col("doc_id"), salt="czlabel")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    junk_text = F.array_join(F.array_repeat(F.element_at(toks, 1), 40), " ")
+    d = docs.select(
+        (fate < 0.5).cast("int").alias("is_junk"),
+        F.when(fate < 0.5, junk_text).otherwise(F.col("text")).alias("text"),
+    )
+    means = (
+        d.groupBy("is_junk")
+        .agg(
+            F.avg(compress_signal.compression_ratio("text")).alias("mean_cr")
+        )
+        .collect()
+    )
+    by = {r["is_junk"]: r["mean_cr"] for r in means}
+    return spark.createDataFrame(
+        [
+            (
+                int(len(by) == 2),
+                int(by.get(1, 1.0) < by.get(0, 0.0) - 0.1),
+            )
+        ],
+        "both_classes long, junk_below_prose long",
+    )
+
+
+SQL_TEXT_COMPRESSION_GATE = """
+SELECT CAST(1 AS BIGINT) AS both_classes,
+       CAST(1 AS BIGINT) AS junk_below_prose
+"""
+
+
 def text_span_dup(spark, sf_dir):
     """Cross-document verbatim-span profile (operators.span_dedup):
     3-token rolling windows, a window is duplicated iff its hash
@@ -2020,6 +2109,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": corpus_sample,
     "corpus_pack_shards": corpus_pack_shards,
     "text_span_dup": text_span_dup,
+    "quality_model_gate": quality_model_gate,
+    "text_compression_gate": text_compression_gate,
     "events_windowed_agg": events_windowed_agg,
     "events_topk_per_user": events_topk_per_user,
     "events_sessionize": events_sessionize,
@@ -2072,6 +2163,11 @@ ORACLES: dict[str, str] = {
     "corpus_sample": SQL_CORPUS_SAMPLE,
     "corpus_pack_shards": SQL_CORPUS_PACK_SHARDS,
     "text_span_dup": SQL_TEXT_SPAN_DUP,
+    # quality_model_gate: ML lifecycle — flags, not recomputation
+    # (tripwire pattern, documented in COVERAGE.md):
+    "quality_model_gate": SQL_QUALITY_MODEL_GATE,
+    # text_compression_gate: zlib signal — flags (no SQL zlib):
+    "text_compression_gate": SQL_TEXT_COMPRESSION_GATE,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,
     "events_topk_per_user": SQL_EVENTS_TOPK_PER_USER,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
