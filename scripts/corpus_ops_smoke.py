@@ -44,7 +44,9 @@ def main() -> None:
         F.sequence(F.lit(0), F.lit(59)),
         lambda j: F.element_at(
             F.array(*[F.lit(w) for w in vocab]),
-            (F.xxhash64(F.col("doc_id") * 64 + j) % 40 + 40) % 40 + 1,
+            (
+                (F.xxhash64(F.col("doc_id") * 64 + j) % 40 + 40) % 40 + 1
+            ).cast("int"),
         ),
     )
     shared_span = " ".join(vocab[:12])
