@@ -77,6 +77,13 @@ class PipelineConfig:
     # reference has no such stage, and the per-url byte-identical
     # text invariant is defined over raw urls.
     collapse_recrawls: bool = False
+    # Strip boilerplate lines (lines occurring in >= this many
+    # distinct pages) from `text` BEFORE normalize — the CCNet/C4
+    # corpus-hygiene stage ahead of content blocking, so nav bars and
+    # cookie banners stop gluing unrelated pages into blocks. None
+    # (default) = off: the reference has no such stage and its
+    # byte-identical clean_text invariant is defined over raw text.
+    strip_boilerplate_min_docs: int | None = None
 
 
 def _maybe_collapse(pages: DataFrame, cfg: "PipelineConfig") -> DataFrame:
@@ -91,6 +98,33 @@ def _maybe_collapse(pages: DataFrame, cfg: "PipelineConfig") -> DataFrame:
     return _collapse(pages, "url", "warc_ts").drop(
         "url_canonical", "n_versions"
     )
+
+
+def _maybe_strip_boilerplate(
+    pages: DataFrame, cfg: "PipelineConfig"
+) -> DataFrame:
+    if cfg.strip_boilerplate_min_docs is None:
+        return pages
+    from idd_hw6_record_linkage_spark.operators.line_dedup import (
+        remove_boilerplate_lines,
+    )
+
+    cleaned = remove_boilerplate_lines(
+        pages,
+        "url",
+        "text",
+        min_docs=cfg.strip_boilerplate_min_docs,
+    ).select("url", F.col("clean_text"))
+    # Replace text, keep every other pages column untouched.
+    return (
+        pages.drop("text")
+        .join(cleaned, "url")
+        .withColumnRenamed("clean_text", "text")
+    )
+
+
+def _pre_stages(pages: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    return _maybe_strip_boilerplate(_maybe_collapse(pages, cfg), cfg)
 
 
 def normalize_plan(pages: DataFrame) -> DataFrame:
@@ -232,7 +266,7 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
     # Persist the fan-out points: records feeds key-gen + both sides of
     # the feature joins; keys feeds the size-count and both sides of the
     # self-join (projection differences defeat ReuseExchange there).
-    records = normalize_plan(_maybe_collapse(pages, cfg)).persist()
+    records = normalize_plan(_pre_stages(pages, cfg)).persist()
     raw_keys = block_keys_plan(records, cfg).persist()
     keys = blocking.cap_blocks(
         raw_keys, cfg.max_block_size, salt_col="salt_basis"
@@ -279,8 +313,8 @@ def link_sources(
     record_linkage.py:528-536)."""
     cfg = cfg or PipelineConfig(workdir="/tmp/_unused", run_id="link")
     _validate_scorer(cfg, labeled_pairs)
-    rec_l = normalize_plan(_maybe_collapse(pages_l, cfg)).persist()
-    rec_r = normalize_plan(_maybe_collapse(pages_r, cfg)).persist()
+    rec_l = normalize_plan(_pre_stages(pages_l, cfg)).persist()
+    rec_r = normalize_plan(_pre_stages(pages_r, cfg)).persist()
     # ONE oversized-block list over the union of both sources: capping
     # each side independently would salt hot keys on one side only and
     # silently drop their cross-source candidates.
@@ -373,7 +407,7 @@ class LinkagePipeline:
     def normalize(self, pages: DataFrame) -> DataFrame:
         return self._run_stage(
             "normalize",
-            lambda: normalize_plan(_maybe_collapse(pages, self.cfg)),
+            lambda: normalize_plan(_pre_stages(pages, self.cfg)),
         )
 
     def pairs(self, records: DataFrame) -> DataFrame:

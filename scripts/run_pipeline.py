@@ -50,6 +50,12 @@ def main() -> None:
                         "(fails fast with a clear message otherwise)")
     p.add_argument("--iceberg-namespace", default="linkage",
                    help="catalog namespace for --table-format iceberg")
+    p.add_argument("--collapse-recrawls", action="store_true",
+                   help="pre-stage: collapse canonical-url re-crawl "
+                        "variants to the latest crawl before normalize")
+    p.add_argument("--strip-boilerplate-min-docs", type=int, default=None,
+                   help="pre-stage: strip lines occurring in >= N "
+                        "distinct pages from text before normalize")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -81,6 +87,8 @@ def main() -> None:
         scorer=args.scorer,
         table_format=args.table_format,
         iceberg_namespace=args.iceberg_namespace,
+        collapse_recrawls=args.collapse_recrawls,
+        strip_boilerplate_min_docs=args.strip_boilerplate_min_docs,
     )
     labeled = spark.read.parquet(args.labeled_pairs) if args.labeled_pairs else None
     if args.scorer == "lr" and labeled is None:

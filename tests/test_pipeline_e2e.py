@@ -171,3 +171,37 @@ def test_pipeline_collapse_recrawls_flag(spark):
         assert prf.f1 == 1.0, prf
     finally:
         res["release"]()
+
+
+def test_pipeline_strip_boilerplate_flag(spark):
+    """cfg.strip_boilerplate_min_docs: a cookie banner glued onto
+    every page's text is stripped before normalize, so the cleaned
+    text equals the banner-free run's and clustering stays perfect."""
+    from idd_hw6_record_linkage_spark.sources.generator import (
+        expected_clusters,
+        generate_raw,
+    )
+    from idd_hw6_record_linkage_spark.plans.pipeline import (
+        PipelineConfig,
+        run_in_memory,
+    )
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        pairwise_cluster_f1,
+    )
+
+    raw = generate_raw(spark, 100).cache()
+    pages = raw.select("url", "warc_ts", "html", "text", "lang")
+    banner = "accept all cookies to continue"
+    noisy = pages.withColumn(
+        "text", F.concat(F.lit(banner + "\n"), F.col("text"))
+    )
+    cfg = PipelineConfig(workdir="/tmp/_unused", run_id="boiler",
+                         strip_boilerplate_min_docs=50)
+    res = run_in_memory(spark, noisy, cfg)
+    try:
+        assert res["records"].where(
+            F.col("text_clean").contains(banner)).count() == 0
+        prf = pairwise_cluster_f1(res["clusters"], expected_clusters(raw))
+        assert prf.f1 == 1.0, prf
+    finally:
+        res["release"]()
