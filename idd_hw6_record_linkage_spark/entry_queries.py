@@ -34,6 +34,7 @@ Operator coverage mapping (SURVEY §2):
 - duplicated-span (exact substring): text_span_dup
 - trainable quality classifier:      quality_model_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
+- corpus vocabulary top-k:           corpus_vocab_topk
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1313,6 +1314,67 @@ def _sql_pii_redact() -> str:
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+def corpus_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics (the tokenizer-training /
+    vocab-building sweep): top 50 lowercased whitespace tokens by
+    document frequency, with total occurrence counts; deterministic
+    ties (doc_freq desc, n_total desc, token asc). One explode + one
+    shuffle on the token; the top-k is orderBy+limit — Spark compiles
+    it to TakeOrderedAndProject (per-partition heaps + a 50-row
+    merge), never a single-partition global sort; rank is then a
+    window over just the 50 survivors."""
+    toks = F.posexplode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    )
+    per_tok = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select("doc_id", toks.alias("pos", "token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        )
+    )
+    from pyspark.sql import Window
+
+    order = [
+        F.col("doc_freq").desc(),
+        F.col("n_total").desc(),
+        F.col("token"),
+    ]
+    top = per_tok.orderBy(*order).limit(50)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "doc_freq",
+        "n_total",
+    )
+
+
+SQL_CORPUS_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(
+      regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''
+    )) AS token
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), per AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks GROUP BY 1
+)
+SELECT CAST(row_number() OVER
+         (ORDER BY doc_freq DESC, n_total DESC, token) AS BIGINT) AS rank,
+       token, doc_freq, n_total
+FROM per
+QUALIFY rank <= 50
+"""
+
+
 def quality_model_gate(spark, sf_dir):
     """Trainable-quality-classifier lifecycle tripwire (the
     ann_lsh_recall pattern — flags, not a value recomputation): build
@@ -2109,6 +2171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": corpus_sample,
     "corpus_pack_shards": corpus_pack_shards,
     "text_span_dup": text_span_dup,
+    "corpus_vocab_topk": corpus_vocab_topk,
     "quality_model_gate": quality_model_gate,
     "text_compression_gate": text_compression_gate,
     "events_windowed_agg": events_windowed_agg,
@@ -2163,6 +2226,7 @@ ORACLES: dict[str, str] = {
     "corpus_sample": SQL_CORPUS_SAMPLE,
     "corpus_pack_shards": SQL_CORPUS_PACK_SHARDS,
     "text_span_dup": SQL_TEXT_SPAN_DUP,
+    "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     # quality_model_gate: ML lifecycle — flags, not recomputation
     # (tripwire pattern, documented in COVERAGE.md):
     "quality_model_gate": SQL_QUALITY_MODEL_GATE,
