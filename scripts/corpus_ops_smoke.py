@@ -68,8 +68,17 @@ def main() -> None:
             F.concat(F.lit("src"), (F.col("doc_id") % 10).cast("string")),
         )
         .withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
-        .localCheckpoint()  # freeze the input so every op times its own work
     )
+    # Stage to parquet (NOT localCheckpoint): at 10M+ docs the block
+    # manager holding the whole generated corpus in executor memory
+    # fights the operators for heap (measured: GCLocker allocation
+    # retries + executor deaths); a parquet stage reads back at disk
+    # speed and leaves the heap to the operators.
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="corpus_smoke_")
+    docs.write.mode("overwrite").parquet(f"{stage}/docs")
+    docs = spark.read.parquet(f"{stage}/docs")
     n = docs.count()
     out: dict[str, float | int] = {"n_docs": n, "cpus": cpus}
 
