@@ -35,6 +35,7 @@ Operator coverage mapping (SURVEY §2):
 - trainable quality classifier:      quality_model_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
 - corpus vocabulary top-k:           corpus_vocab_topk
+- as-of join (temporal):             events_asof_signup
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1314,6 +1315,50 @@ def _sql_pii_redact() -> str:
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+def events_asof_signup(spark, sf_dir):
+    """As-of join (operators.asof): every purchase event matched to
+    the user's latest signup event at-or-before it. The DuckDB oracle
+    is a native ASOF LEFT JOIN — the engine's union+window plan must
+    reproduce it value-exactly, NULLs included."""
+    from idd_hw6_record_linkage_spark.operators import asof
+
+    ev = _scan(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    out = asof.asof_join_backward(
+        purchases, signups, "user_id", "ts", "signup_ts"
+    )
+    # epoch-microsecond BIGINTs: Spark hands pandas ns-resolution
+    # timestamps, DuckDB us-resolution — integer microseconds compare
+    # identically everywhere (NULL stays NULL).
+    return out.select(
+        "event_id",
+        "user_id",
+        # cast: the parquet column is TIMESTAMP_NTZ; with the session
+        # pinned to UTC the cast is an identity relabel.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(
+            F.col("asof").getField("signup_ts").cast("timestamp")
+        ).alias("signup_ts_us"),
+    )
+
+
+SQL_EVENTS_ASOF_SIGNUP = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(s.signup_ts) AS signup_ts_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+ASOF LEFT JOIN
+     (SELECT user_id, ts AS signup_ts FROM events
+      WHERE event_type = 'signup' AND ts IS NOT NULL) s
+  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+"""
+
+
 def corpus_vocab_topk(spark, sf_dir):
     """Corpus vocabulary statistics (the tokenizer-training /
     vocab-building sweep): top 50 lowercased whitespace tokens by
@@ -2172,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_shards": corpus_pack_shards,
     "text_span_dup": text_span_dup,
     "corpus_vocab_topk": corpus_vocab_topk,
+    "events_asof_signup": events_asof_signup,
     "quality_model_gate": quality_model_gate,
     "text_compression_gate": text_compression_gate,
     "events_windowed_agg": events_windowed_agg,
@@ -2227,6 +2273,7 @@ ORACLES: dict[str, str] = {
     "corpus_pack_shards": SQL_CORPUS_PACK_SHARDS,
     "text_span_dup": SQL_TEXT_SPAN_DUP,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
+    "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     # quality_model_gate: ML lifecycle — flags, not recomputation
     # (tripwire pattern, documented in COVERAGE.md):
     "quality_model_gate": SQL_QUALITY_MODEL_GATE,
