@@ -54,6 +54,8 @@ AUDITED = [
     "pii_redact",
     "corpus_sample",
     "corpus_pack_shards",
+    "corpus_vocab_topk",
+    "events_asof_signup",
     "ann_topk_brute",
     "ann_topk_lsh",
     "pair_tfidf_cosine",
