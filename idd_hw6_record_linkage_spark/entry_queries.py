@@ -36,6 +36,7 @@ Operator coverage mapping (SURVEY §2):
 - compression-ratio quality signal:  text_compression_gate (tripwire)
 - corpus vocabulary top-k:           corpus_vocab_topk
 - as-of join (temporal):             events_asof_signup
+- range join (point-in-interval):    events_range_join
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1359,6 +1360,52 @@ ASOF LEFT JOIN
 """
 
 
+def events_range_join(spark, sf_dir):
+    """Range (point-in-interval) join (operators.range_join): every
+    purchase within 3 days at-or-after a signup by the same user —
+    bucketized equi-join + exact filter on the Spark side, a plain
+    inequality join on the DuckDB side. Value-exact including
+    multi-match fan-out."""
+    from idd_hw6_record_linkage_spark.operators import range_join
+
+    ev = _scan(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+    )
+    out = range_join.point_in_interval_join(
+        purchases, signups, "user_id", "ts", "w_start", "w_end",
+        bucket_seconds=86_400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("interval").getField("signup_event_id").alias(
+            "signup_event_id"
+        ),
+        F.unix_micros(
+            F.col("interval").getField("w_start").cast("timestamp")
+        ).alias("signup_ts_us"),
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       s.event_id AS signup_event_id, epoch_us(s.ts) AS signup_ts_us
+FROM events p JOIN events s
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 3 DAY
+WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+  AND p.ts IS NOT NULL AND s.ts IS NOT NULL
+"""
+
+
 def corpus_vocab_topk(spark, sf_dir):
     """Corpus vocabulary statistics (the tokenizer-training /
     vocab-building sweep): top 50 lowercased whitespace tokens by
@@ -2218,6 +2265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_span_dup": text_span_dup,
     "corpus_vocab_topk": corpus_vocab_topk,
     "events_asof_signup": events_asof_signup,
+    "events_range_join": events_range_join,
     "quality_model_gate": quality_model_gate,
     "text_compression_gate": text_compression_gate,
     "events_windowed_agg": events_windowed_agg,
@@ -2274,6 +2322,7 @@ ORACLES: dict[str, str] = {
     "text_span_dup": SQL_TEXT_SPAN_DUP,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     # quality_model_gate: ML lifecycle — flags, not recomputation
     # (tripwire pattern, documented in COVERAGE.md):
     "quality_model_gate": SQL_QUALITY_MODEL_GATE,

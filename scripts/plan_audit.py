@@ -56,6 +56,7 @@ AUDITED = [
     "corpus_pack_shards",
     "corpus_vocab_topk",
     "events_asof_signup",
+    "events_range_join",
     "ann_topk_brute",
     "ann_topk_lsh",
     "pair_tfidf_cosine",
