@@ -37,6 +37,8 @@ Operator coverage mapping (SURVEY §2):
 - corpus vocabulary top-k:           corpus_vocab_topk
 - as-of join (temporal):             events_asof_signup
 - range join (point-in-interval):    events_range_join
+- exact quantiles / ROLLUP:          events_value_quantiles,
+                                     tpch_rollup_pricing
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1467,6 +1469,65 @@ QUALIFY rank <= 50
 """
 
 
+def events_value_quantiles(spark, sf_dir):
+    """Exact quantile aggregation per event_type: median and p90 of
+    value (Spark's exact `percentile` — linear-interpolated, matching
+    DuckDB quantile_cont), plus count. percentile_approx is the
+    at-scale variant; the contract pins the exact one so the oracle
+    can recompute it."""
+    ev = _scan(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+"""
+
+
+def tpch_rollup_pricing(spark, sf_dir):
+    """ROLLUP aggregation (grouping sets): lineitem revenue by
+    (returnflag, linestatus) with subtotal and grand-total rows —
+    the OLAP cube family. GROUPING() flags disambiguate NULL group
+    values from rollup NULLs, identically in both engines."""
+    li = _scan(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() must be computed inside the rollup aggregate
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "revenue", "n_rows",
+        )
+    )
+
+
+SQL_TPCH_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def quality_model_gate(spark, sf_dir):
     """Trainable-quality-classifier lifecycle tripwire (the
     ann_lsh_recall pattern — flags, not a value recomputation): build
@@ -2266,6 +2327,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab_topk": corpus_vocab_topk,
     "events_asof_signup": events_asof_signup,
     "events_range_join": events_range_join,
+    "events_value_quantiles": events_value_quantiles,
+    "tpch_rollup_pricing": tpch_rollup_pricing,
     "quality_model_gate": quality_model_gate,
     "text_compression_gate": text_compression_gate,
     "events_windowed_agg": events_windowed_agg,
@@ -2323,6 +2386,8 @@ ORACLES: dict[str, str] = {
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+    "tpch_rollup_pricing": SQL_TPCH_ROLLUP_PRICING,
     # quality_model_gate: ML lifecycle — flags, not recomputation
     # (tripwire pattern, documented in COVERAGE.md):
     "quality_model_gate": SQL_QUALITY_MODEL_GATE,
