@@ -39,6 +39,7 @@ Operator coverage mapping (SURVEY §2):
 - range join (point-in-interval):    events_range_join
 - exact quantiles / ROLLUP:          events_value_quantiles,
                                      tpch_rollup_pricing
+- sliding range-frame window agg:    events_moving_avg
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1528,6 +1529,42 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def events_moving_avg(spark, sf_dir):
+    """Sliding RANGE-frame window aggregate: per user, the mean and
+    count of `value` over the trailing 24 hours (inclusive) at every
+    event — rangeBetween over epoch seconds, the frame family the
+    other window queries (rank, lag, session cumsum) don't touch."""
+    from pyspark.sql import Window
+
+    ev = _scan(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-86_400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.avg("value").over(w), 6).alias("avg_24h"),
+        F.count("*").over(w).cast("long").alias("n_24h"),
+    )
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  CAST(round(avg(value) OVER w, 6) AS DOUBLE) AS avg_24h,
+  CAST(count(*) OVER w AS BIGINT) AS n_24h
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+"""
+
+
 def quality_model_gate(spark, sf_dir):
     """Trainable-quality-classifier lifecycle tripwire (the
     ann_lsh_recall pattern — flags, not a value recomputation): build
@@ -2328,6 +2365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_signup": events_asof_signup,
     "events_range_join": events_range_join,
     "events_value_quantiles": events_value_quantiles,
+    "events_moving_avg": events_moving_avg,
     "tpch_rollup_pricing": tpch_rollup_pricing,
     "quality_model_gate": quality_model_gate,
     "text_compression_gate": text_compression_gate,
@@ -2387,6 +2425,7 @@ ORACLES: dict[str, str] = {
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "tpch_rollup_pricing": SQL_TPCH_ROLLUP_PRICING,
     # quality_model_gate: ML lifecycle — flags, not recomputation
     # (tripwire pattern, documented in COVERAGE.md):
