@@ -78,6 +78,7 @@ def remove_boilerplate_lines(
     sep: str = "\n",
     min_docs: int = 2,
     base: str = "xxhash64",
+    broadcast_boiler: bool = True,
 ) -> DataFrame:
     """Strip every line that occurs in >= ``min_docs`` distinct
     documents; return one row per input document:
@@ -103,8 +104,14 @@ def remove_boilerplate_lines(
         .where(F.col("doc_freq") >= min_docs)
         .select("line_key")
     )
+    # broadcast_boiler=False is the escape hatch for adversarial
+    # corpora where the boilerplate set itself is huge (a low
+    # min_docs over a templated corpus): fall back to a shuffled
+    # hash join instead of building the set on the driver.
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
     flagged = keyed.join(
-        F.broadcast(boiler).withColumn("is_boiler", F.lit(True)),
+        boiler.withColumn("is_boiler", F.lit(True)),
         "line_key",
         "left",
     ).withColumn("is_boiler", F.coalesce("is_boiler", F.lit(False)))

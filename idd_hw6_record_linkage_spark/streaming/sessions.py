@@ -133,7 +133,12 @@ def domain_sessions_stateful(
             yield pd.DataFrame(closed)
 
     return (
-        pages_stream.withColumn("domain", url_domain_expr("url"))
+        # project BEFORE the stateful op: only (domain, warc_ts) cross
+        # the Arrow boundary per trigger — shipping html binaries into
+        # Python state functions would dominate the transfer cost.
+        pages_stream.select(
+            url_domain_expr("url").alias("domain"), "warc_ts"
+        )
         .withWatermark("warc_ts", watermark)
         .groupBy("domain")
         .applyInPandasWithState(

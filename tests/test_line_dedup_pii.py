@@ -196,3 +196,26 @@ def test_pii_redaction_engine_parity_adversarial(spark):
     assert want[6] == "<IP>"
     assert want[9] == "12345678 eight digits stays"
     assert want[10] == "<PHONE> nine digits goes"
+
+
+def test_remove_boilerplate_no_broadcast_same_answer(spark):
+    """broadcast_boiler=False (shuffled hash join escape hatch for a
+    huge boilerplate set) gives the identical result."""
+    df = _corpus(spark, DOCS)
+    a = sorted(
+        map(
+            tuple,
+            line_dedup.remove_boilerplate_lines(
+                df, "id", "text", min_docs=2
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            line_dedup.remove_boilerplate_lines(
+                df, "id", "text", min_docs=2, broadcast_boiler=False
+            ).collect(),
+        )
+    )
+    assert a == b
