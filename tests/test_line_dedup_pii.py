@@ -219,3 +219,34 @@ def test_remove_boilerplate_no_broadcast_same_answer(spark):
         )
     )
     assert a == b
+
+
+def test_md5_60_line_key_unicode_parity_with_duckdb(spark):
+    """The md5_60 line-key basis must agree with DuckDB's
+    ('0x' || substr(md5(x),1,15))::BIGINT on non-ASCII text — both
+    engines hash the UTF-8 bytes, so emoji/CJK/combining marks and
+    the empty string all map identically."""
+    import duckdb
+
+    strings = [
+        "plain ascii line",
+        "café résumé naïve",
+        "日本語のテキスト行",
+        "emoji 🙂🚀 line",
+        "combining á mark",
+        "ß spätzle ÆØÅ",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "t string")
+    got = {
+        r["t"]: r["k"]
+        for r in df.select(
+            "t", line_dedup._line_key(F.col("t"), "md5_60").alias("k")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == want, s
