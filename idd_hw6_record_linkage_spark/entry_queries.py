@@ -40,6 +40,8 @@ Operator coverage mapping (SURVEY §2):
 - exact quantiles / ROLLUP:          events_value_quantiles,
                                      tpch_rollup_pricing
 - sliding range-frame window agg:    events_moving_avg
+- pivot / HLL sketch gate:           events_pivot,
+                                     events_approx_distinct_gate
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
                                      text_stopword_ratio, text_quality,
@@ -1565,6 +1567,72 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 """
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def events_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation): one row per user with a
+    count column per event type. Spark's pivot with an EXPLICIT values
+    list (never the implicit distinct-scan — that is a hidden extra
+    job at scale); the oracle is the equivalent FILTERed aggregation."""
+    ev = _scan(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT user_id,
+  {", ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES
+  )}
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+"""
+
+
+def events_approx_distinct_gate(spark, sf_dir):
+    """Sketch-family tripwire: approx_count_distinct (HyperLogLog++)
+    per event_type must land within 5% of the exact distinct count —
+    approximation quality cannot be value-exact by definition, so the
+    gate emits pass flags (ann_lsh_recall pattern)."""
+    ev = _scan(spark, sf_dir, "events")
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    row = both.agg(
+        F.count("*").alias("n_groups"),
+        F.max(
+            F.abs(F.col("approx") - F.col("exact"))
+            / F.col("exact").cast("double")
+        ).alias("max_rel_err"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_groups"] > 0),
+                int(row["max_rel_err"] <= 0.05),
+            )
+        ],
+        "has_groups long, within_5pct long",
+    )
+
+
+SQL_EVENTS_APPROX_DISTINCT_GATE = """
+SELECT CAST(1 AS BIGINT) AS has_groups, CAST(1 AS BIGINT) AS within_5pct
+"""
+
+
 def quality_model_gate(spark, sf_dir):
     """Trainable-quality-classifier lifecycle tripwire (the
     ann_lsh_recall pattern — flags, not a value recomputation): build
@@ -2366,6 +2434,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": events_range_join,
     "events_value_quantiles": events_value_quantiles,
     "events_moving_avg": events_moving_avg,
+    "events_pivot": events_pivot,
+    "events_approx_distinct_gate": events_approx_distinct_gate,
     "tpch_rollup_pricing": tpch_rollup_pricing,
     "quality_model_gate": quality_model_gate,
     "text_compression_gate": text_compression_gate,
@@ -2426,6 +2496,9 @@ ORACLES: dict[str, str] = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    # events_approx_distinct_gate: HLL sketch — flags (approximation):
+    "events_approx_distinct_gate": SQL_EVENTS_APPROX_DISTINCT_GATE,
     "tpch_rollup_pricing": SQL_TPCH_ROLLUP_PRICING,
     # quality_model_gate: ML lifecycle — flags, not recomputation
     # (tripwire pattern, documented in COVERAGE.md):
