@@ -57,6 +57,8 @@ AUDITED = [
     "corpus_vocab_topk",
     "events_asof_signup",
     "events_range_join",
+    "events_pivot",
+    "events_moving_avg",
     "ann_topk_brute",
     "ann_topk_lsh",
     "pair_tfidf_cosine",
