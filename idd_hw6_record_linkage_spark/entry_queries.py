@@ -40,7 +40,7 @@ Operator coverage mapping (SURVEY §2):
 - exact quantiles / ROLLUP:          events_value_quantiles,
                                      tpch_rollup_pricing
 - sliding range-frame window agg:    events_moving_avg
-- pivot / HLL sketch gate:           events_pivot,
+- pivot / unpivot / HLL sketch gate: events_pivot, events_unpivot,
                                      events_approx_distinct_gate
 - text analysis:                     text_token_count,
                                      text_token_count_bpe,
@@ -1600,6 +1600,35 @@ FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 """
 
 
+def events_unpivot(spark, sf_dir):
+    """Unpivot / melt (wide → long), the inverse of events_pivot:
+    the per-user count columns stack back into (user_id, event_type,
+    n) rows. Spark's native unpivot (Expand, map-only); the oracle
+    recomputes with UNION ALL per type. Zero-count cells are kept —
+    a lossless round-trip of the pivot."""
+    wide = events_pivot(spark, sf_dir)
+    out = wide.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in _EVENT_TYPES],
+        "event_type",
+        "n",
+    )
+    return out.select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+SQL_EVENTS_UNPIVOT = f"""
+WITH wide AS ({SQL_EVENTS_PIVOT})
+{" UNION ALL ".join(
+    f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM wide"
+    for t in _EVENT_TYPES
+)}
+"""
+
+
 def events_approx_distinct_gate(spark, sf_dir):
     """Sketch-family tripwire: approx_count_distinct (HyperLogLog++)
     per event_type must land within 5% of the exact distinct count —
@@ -2435,6 +2464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_quantiles": events_value_quantiles,
     "events_moving_avg": events_moving_avg,
     "events_pivot": events_pivot,
+    "events_unpivot": events_unpivot,
     "events_approx_distinct_gate": events_approx_distinct_gate,
     "tpch_rollup_pricing": tpch_rollup_pricing,
     "quality_model_gate": quality_model_gate,
@@ -2497,6 +2527,7 @@ ORACLES: dict[str, str] = {
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "events_unpivot": SQL_EVENTS_UNPIVOT,
     # events_approx_distinct_gate: HLL sketch — flags (approximation):
     "events_approx_distinct_gate": SQL_EVENTS_APPROX_DISTINCT_GATE,
     "tpch_rollup_pricing": SQL_TPCH_ROLLUP_PRICING,
