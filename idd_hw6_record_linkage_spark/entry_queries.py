@@ -1325,7 +1325,8 @@ def events_asof_signup(spark, sf_dir):
     """As-of join (operators.asof): every purchase event matched to
     the user's latest signup event at-or-before it. The DuckDB oracle
     is a native ASOF LEFT JOIN — the engine's union+window plan must
-    reproduce it value-exactly, NULLs included."""
+    reproduce it value-exactly, NULLs included (NULL-timestamp
+    purchases are retained unmatched by BOTH engines)."""
     from idd_hw6_record_linkage_spark.operators import asof
 
     ev = _scan(spark, sf_dir, "events")
@@ -1357,7 +1358,7 @@ SQL_EVENTS_ASOF_SIGNUP = """
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        epoch_us(s.signup_ts) AS signup_ts_us
 FROM (SELECT event_id, user_id, ts FROM events
-      WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+      WHERE event_type = 'purchase') p
 ASOF LEFT JOIN
      (SELECT user_id, ts AS signup_ts FROM events
       WHERE event_type = 'signup' AND ts IS NOT NULL) s
@@ -1541,11 +1542,16 @@ def events_moving_avg(spark, sf_dir):
     ev = _scan(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # Frame basis is epoch MICROseconds on both sides: unix_timestamp
+    # truncates to whole seconds while DuckDB's epoch(ts) keeps
+    # fractions, so a sub-second timestamp would land boundary rows in
+    # different 24h frames and break the value-exact contract even
+    # though both engines are "right".
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch)
-        .rangeBetween(-86_400, 0)
+        .rangeBetween(-86_400_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -1562,8 +1568,8 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
   CAST(count(*) OVER w AS BIGINT) AS n_24h
 FROM events
 WHERE ts IS NOT NULL AND value IS NOT NULL
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 """
 
 

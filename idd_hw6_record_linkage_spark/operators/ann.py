@@ -197,6 +197,22 @@ def train_ivf_centroids(
     df = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if train_fraction is not None:
         df = df.sample(False, train_fraction, seed)
+    # Spherical k-means updates centroids as the mean of UNIT vectors:
+    # assignment normalizes, so the update must too, or large-magnitude
+    # raw vectors dominate the mean. __vn is the row-normalized vector,
+    # computed natively (zero-norm rows contribute all-zero components,
+    # matching _normalize_rows' convention of leaving them untouched).
+    _norm = F.sqrt(
+        F.aggregate(
+            "__v", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    df = df.withColumn(
+        "__vn",
+        F.when(
+            _norm > 0, F.transform("__v", lambda x: x.cast("double") / _norm)
+        ).otherwise(F.transform("__v", lambda x: x.cast("double") * 0)),
+    )
     seeds = (
         df.withColumn("__h", F.xxhash64(F.col("__id"), F.lit(seed)))
         .orderBy("__h", "__id")
@@ -226,7 +242,7 @@ def train_ivf_centroids(
 
         means = (
             df.withColumn("__c", _nearest("__v"))
-            .select("__c", F.posexplode("__v").alias("__p", "__x"))
+            .select("__c", F.posexplode("__vn").alias("__p", "__x"))
             .groupBy("__c", "__p")
             .agg(F.avg("__x").alias("__m"))
             .collect()
@@ -348,9 +364,17 @@ def lsh_topk(
     (quantized-vector basis, id-salt fallback — the tier-2 id-salt
     means a query probes a 1/n_sub sample of a collapsed hot bucket, a
     documented recall trade). The cap is OPT-IN (default ``None`` =
-    exact bucketed semantics, no result change for existing callers);
-    production call sites at scale should pass a cap — the driver-gated
-    contract queries pass 1000."""
+    exact bucketed semantics).
+
+    .. versionchanged:: round 4
+       ``max_bucket_size`` default changed from ``1000`` to ``None``.
+       Exact-bucket semantics by default is intentional (an uncapped
+       bucket changes recall silently; a cap should be an explicit
+       scale decision) — but callers who relied on the old implicit
+       cap must now pass ``max_bucket_size=1000`` themselves, or
+       per-query candidate cost on clustered corpora can degenerate
+       to brute force. Production call sites at scale should pass a
+       cap — the driver-gated contract queries pass 1000."""
 
     def keyed(df: DataFrame, idc: str, probes: int) -> DataFrame:
         out = None

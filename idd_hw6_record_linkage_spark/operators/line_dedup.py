@@ -89,15 +89,23 @@ def remove_boilerplate_lines(
     The boilerplate key set is broadcast (it is the head of the line
     frequency distribution — bounded by the number of distinct
     boilerplate strings, not the corpus), so the strip adds no shuffle;
-    only the per-doc rebuild groups. NULL text yields n_lines=1 over
-    the empty string per Spark split semantics.
+    only the per-doc rebuild groups. NULL text is coalesced to the
+    empty string before the split, so a NULL-text document is KEPT
+    with n_lines=1, n_removed=0, clean_text='' (``F.split(NULL)`` is
+    NULL and posexplode of NULL emits zero rows — without the coalesce
+    the groupBy output would silently drop the document).
 
     The line explode runs twice (under the freq agg and under the
     strip) — deliberate: both are map-side re-derivations from the
     scan, cheaper at corpus scale than materializing the exploded
     line table (see span_dedup.span_dup_stats for the same call)."""
     join_sep = sep if len(sep) == 1 else "\n"
-    lines = split_lines(df, id_col, text_col, sep)
+    lines = split_lines(
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))),
+        id_col,
+        text_col,
+        sep,
+    )
     keyed = lines.withColumn("line_key", _line_key(F.trim(F.col("line")), base))
     boiler = (
         line_doc_freq(lines, id_col, base=base)

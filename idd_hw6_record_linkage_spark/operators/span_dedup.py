@@ -113,12 +113,22 @@ def span_dup_stats(
     wins = token_windows(df, id_col, text_col, window, stride, base)
     if freq is None:
         freq = span_doc_freq(wins, id_col)
+    # Join against ONLY the duplicated subset of the frequency table
+    # (doc_freq >= min_docs — typically a small fraction of distinct
+    # windows), never the full table: every window matches a full-freq
+    # join, so its build side would be the entire distinct-window set.
+    # A LEFT join + conditional sum keeps n_windows computable in the
+    # same pass while the join's right side shrinks from |distinct
+    # windows| to |duplicated windows|.
+    dup_keys = freq.where(F.col("doc_freq") >= min_docs).select(
+        "win_key", F.lit(1).alias("__dup")
+    )
     per_doc = (
-        wins.join(freq, "win_key")
+        wins.join(dup_keys, "win_key", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_windows"),
-            F.sum((F.col("doc_freq") >= min_docs).cast("long"))
+            F.coalesce(F.sum("__dup"), F.lit(0))
             .cast("long")
             .alias("n_dup_windows"),
         )

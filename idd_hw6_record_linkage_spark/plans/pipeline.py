@@ -115,11 +115,15 @@ def _maybe_strip_boilerplate(
         "text",
         min_docs=cfg.strip_boilerplate_min_docs,
     ).select("url", F.col("clean_text"))
-    # Replace text, keep every other pages column untouched.
+    # Replace text, keep every other pages column untouched. LEFT join
+    # + coalesce so no page can ever vanish from the pipeline through
+    # this stage (remove_boilerplate_lines emits one row per input doc
+    # including NULL-text docs, but the strip must be row-preserving
+    # by construction, not by trusting the operator's cardinality).
     return (
-        pages.drop("text")
-        .join(cleaned, "url")
-        .withColumnRenamed("clean_text", "text")
+        pages.join(cleaned, "url", "left")
+        .withColumn("text", F.coalesce("clean_text", "text"))
+        .drop("clean_text")
     )
 
 

@@ -83,7 +83,7 @@ def test_asof_tiebreak_picks_latest(spark):
     assert out[0]["asof"]["tag"] == "second"
 
 
-def test_asof_null_timestamps_excluded(spark):
+def test_asof_null_timestamps(spark):
     left = _df(
         spark,
         [(1, 10, T(2024, 1, 1, 12, 0)), (2, 10, None)],
@@ -94,11 +94,87 @@ def test_asof_null_timestamps_excluded(spark):
         [(10, None, "ghost"), (10, T(2024, 1, 1, 11, 0), "real")],
         "user_id long, rts timestamp, tag string",
     )
-    rows = asof.asof_join_backward(
-        left, right, "user_id", "ts", "rts"
+    rows = {
+        r["event_id"]: r["asof"]
+        for r in asof.asof_join_backward(
+            left, right, "user_id", "ts", "rts"
+        ).collect()
+    }
+    # left-join semantics: NULL-ts left rows RETAINED, unmatched
+    # (DuckDB ASOF LEFT JOIN parity, asserted in the driver oracle too)
+    assert set(rows) == {1, 2}
+    assert rows[1]["tag"] == "real"  # NULL-ts right never matches
+    assert rows[2] is None
+
+
+def test_asof_out_col_collision_raises(spark):
+    import pytest
+
+    left = _df(
+        spark,
+        [(1, 10, T(2024, 1, 1, 12, 0), "x")],
+        "event_id long, user_id long, ts timestamp, asof string",
+    )
+    right = _df(
+        spark,
+        [(10, T(2024, 1, 1, 11, 0))],
+        "user_id long, rts timestamp",
+    )
+    with pytest.raises(ValueError, match="out_col"):
+        asof.asof_join_backward(left, right, "user_id", "ts", "rts")
+    # renaming the output avoids the collision
+    out = asof.asof_join_backward(
+        left, right, "user_id", "ts", "rts", out_col="matched"
     ).collect()
-    assert [r["event_id"] for r in rows] == [1]  # NULL-ts left dropped
-    assert rows[0]["asof"]["tag"] == "real"  # NULL-ts right never matches
+    assert out[0]["matched"]["rts"] == T(2024, 1, 1, 11, 0)
+    assert out[0]["asof"] == "x"  # the left column survives untouched
+
+
+def test_asof_coarse_bucket_equals_one_pass_with_hot_key(spark):
+    """The two-pass segmented-scan mode (coarse_bucket) must be
+    result-identical to the one-pass window plan on a corpus with a
+    planted mega-key (one key = 50% of rows) — including buckets with
+    no right rows (carry must reach across empty buckets) and
+    same-instant boundary rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = dt.datetime(2024, 1, 1)
+    # hot key 1: 400 left rows across 10 days; cold keys 2..40: 10 each
+    lrows, rrows = [], []
+    eid = 0
+    for k, n in [(1, 400)] + [(k, 10) for k in range(2, 41)]:
+        for _ in range(n):
+            eid += 1
+            lrows.append(
+                (eid, k, base + dt.timedelta(seconds=int(rng.randint(0, 864000))))
+            )
+        # right rows: sparse, and NONE in days 4-6 for the hot key so
+        # the carry pass must cross empty buckets
+        for j in range(max(2, n // 20)):
+            ts = int(rng.randint(0, 864000))
+            if k == 1 and 3 * 86400 <= ts < 7 * 86400:
+                ts = ts % (3 * 86400)
+            rrows.append((k, base + dt.timedelta(seconds=ts), f"{k}:{j}"))
+    left = _df(spark, lrows, "event_id long, user_id long, ts timestamp")
+    right = _df(spark, rrows, "user_id long, rts timestamp, tag string")
+    naive = {
+        r["event_id"]: (r["asof"]["rts"], r["asof"]["tag"])
+        if r["asof"] is not None else None
+        for r in asof.asof_join_backward(
+            left, right, "user_id", "ts", "rts", right_tiebreak="tag"
+        ).collect()
+    }
+    for unit in ("day", "hour"):
+        two_pass = {
+            r["event_id"]: (r["asof"]["rts"], r["asof"]["tag"])
+            if r["asof"] is not None else None
+            for r in asof.asof_join_backward(
+                left, right, "user_id", "ts", "rts",
+                right_tiebreak="tag", coarse_bucket=unit,
+            ).collect()
+        }
+        assert two_pass == naive, f"coarse_bucket={unit} diverged"
 
 
 def test_asof_matches_pandas_merge_asof(spark):

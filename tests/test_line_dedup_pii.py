@@ -70,12 +70,21 @@ def test_remove_boilerplate_trim_and_blank_semantics(spark):
     assert out[3]["clean_text"] == "third content"
 
 
-def test_remove_boilerplate_null_text_dropped(spark):
-    docs = [(1, None), (2, "a\nb")]
-    out = line_dedup.remove_boilerplate_lines(
-        _corpus(spark, docs), "id", "text", min_docs=2
-    )
-    assert [r["id"] for r in out.collect()] == [2]
+def test_remove_boilerplate_null_text_retained(spark):
+    # NULL text must NOT vanish (split(NULL) explodes to zero rows
+    # without the coalesce): kept as one empty line, nothing removed.
+    docs = [(1, None), (2, "a\nb"), (3, "a\nc")]
+    out = {
+        r["id"]: r
+        for r in line_dedup.remove_boilerplate_lines(
+            _corpus(spark, docs), "id", "text", min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_lines"] == 1
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == ""
+    assert out[2]["clean_text"] == "b"  # 'a' is boilerplate (2 docs)
 
 
 def test_md5_60_and_xxhash64_bases_agree_on_decisions(spark):
