@@ -1,17 +1,28 @@
 """Benchmark harness.
 
-Prints ONE JSON line:
+Emits JSON lines INCREMENTALLY — one full-shape line after every
+completed section (headline+flagship, streaming, staging, each
+scaling round), each a superset of the previous, the last one final:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>,
+   "streaming_increment": {...},
    "scaling": {"local2": {...}, "local8": {...}, "efficiency": e},
-   "pairs_scored_per_sec": <throughput at high parallelism>}
+   "pairs_scored_per_sec": <throughput at high parallelism>,
+   "partial": true|false}
+A consumer that keeps the LAST parseable line gets the most complete
+measurement even if the process is killed mid-section (round 4's
+artifact was lost to exactly that: a driver-side timeout with the
+single print still pending). Each line is also appended to the
+sidecar ``.bench_sections.jsonl`` next to this file as it lands.
 
 Sections:
 1. headline operator queries over $SPARK_GRAFT_SF_DIR (default
    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
 2. the flagship linkage pipeline (normalize → 3-pass blocking → score
    → threshold → CC) over a deterministic synthetic pages table;
-3. two-parallelism scaling evidence (north rule): the same scoring job
+3. the streaming increment (incremental_scored availableNow drain)
+   at two parallelism levels — arrivals/sec;
+4. two-parallelism scaling evidence (north rule): the same scoring job
    at local[LO] and local[HI] in fresh subprocesses; efficiency =
    throughput(HI) / ((HI/LO) * throughput(LO)).
 
@@ -60,12 +71,26 @@ SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 # efficiency while its own evidence shows contamination: it retries
 # the pair until a clean pair lands, the bar clears, or the budget
 # runs out (see main()).
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "6"))
-# 4500 s: a 42k-entity [HI,LO] round at 2→8 cores takes ~18-20 min, so
-# the budget admits three full rounds plus gates (round-3 artifact
-# expired mid-retry on a 2700 s budget; round-4's 3600 s fit three
-# rounds only because every one of them was storm-deflated and fast).
-SCALE_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "4500"))
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+# 1500 s default: with parquet-staged inputs a 42k-entity [HI,LO]
+# round at 2→8 cores is ~5-8 min, so the budget admits ~2-3 rounds —
+# sized to what the driver's own harness demonstrably allows (round
+# 3's complete run was ~20 min end-to-end; round 4's 4500 s default
+# was the whole-artifact killer: the harness timed the process out
+# before the single end-of-run print). Incremental emission makes the
+# budget a soft target rather than a cliff — every completed round is
+# already on stdout — but the default stays inside the demonstrated
+# envelope. Raise via env for long local investigations.
+SCALE_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
+# Cumulative cap on headline-section quiet-gate waiting (the per-query
+# gates sum to 16 × 90 s worst case = 24 min of pure waiting — enough
+# to blow any external timeout on a stormy host by itself).
+HEADLINE_GATE_BUDGET = float(
+    os.environ.get("SPARK_GRAFT_HEADLINE_GATE_BUDGET", "240")
+)
+# Streaming micro-bench: entity count for the incremental_scored drain
+# (arrivals = ~1/3 of pages; historical index = the other 2/3).
+N_STREAM_ENTITIES = int(os.environ.get("SPARK_GRAFT_STREAM_ENTITIES", "3000"))
 # A run is storm-contaminated when the 1-min host load implies the box
 # was near-oversubscribed during its timed window: load above
 # max(cpus + STORM_MARGIN, 0.75 × total cores). The margin term keeps
@@ -239,6 +264,64 @@ spark.stop()
 """
 
 
+_STREAM_SNIPPET = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from idd_hw6_record_linkage_spark.session import get_spark
+from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+from idd_hw6_record_linkage_spark.plans.pipeline import (
+    PipelineConfig, normalize_plan)
+from idd_hw6_record_linkage_spark.streaming import ingest
+
+spark = get_spark(master="local[{cpus}]")
+spark.sparkContext.setLogLevel("ERROR")
+cfg = PipelineConfig(workdir="/tmp/_bench_stream_unused")
+
+raw = generate_raw(spark, {n_entities}, partitions=16)
+pages = raw.select("url", "warc_ts", "html", "text", "lang")
+hist = pages.where(F.xxhash64("url") % 3 != 0)
+new = pages.where(F.xxhash64("url") % 3 == 0)
+
+# Untimed setup: historical index staged + cached, arrivals staged to
+# the stream source dir (one file per partition = micro-batch shape).
+hist_rec = normalize_plan(hist).persist()
+hist_rec.count()
+index_keys, big = ingest.build_key_index(hist_rec, cfg)
+index_keys = index_keys.persist(); index_keys.count()
+big = big.persist(); big.count()
+base = {workdir!r}
+src, out, ckpt = base + "/src", base + "/out", base + "/ckpt"
+new.repartition(8).write.mode("overwrite").parquet(src)
+n_arrivals = spark.read.parquet(src).count()
+
+stream = ingest.read_pages_stream(spark, src)
+scored = ingest.incremental_scored(stream, index_keys, big, hist_rec, cfg)
+t0 = time.time()
+q = ingest.run_to_parquet(scored.select("id_l", "id_r", "score"), out, ckpt)
+ok = q.awaitTermination(900)
+dt = time.time() - t0
+n_scored = spark.read.parquet(out).count()
+print(json.dumps({{
+    "cpus": {cpus}, "drained": bool(ok), "n_arrivals": n_arrivals,
+    "n_scored_edges": n_scored, "drain_sec": round(dt, 3),
+    "arrivals_per_sec": round(n_arrivals / dt, 1),
+    "host_load_1m": round(os.getloadavg()[0], 2),
+}}))
+spark.stop()
+"""
+
+
+def run_streaming_level(cpus: int, workdir: str) -> dict:
+    return _run_snippet(
+        _STREAM_SNIPPET.format(
+            repo=REPO, cpus=cpus, n_entities=N_STREAM_ENTITIES,
+            workdir=workdir,
+        ),
+        f"streaming increment local[{cpus}]",
+    )
+
+
 def wait_for_quiet(threshold: float = 9.0, max_wait: int = 240,
                    poll: int = 20) -> float:
     """Bounded gate: the sandbox host is shared and sees multi-minute
@@ -282,6 +365,24 @@ def run_scaling_level(cpus: int, stage_dir: str) -> dict:
     return _run_snippet(code, f"scaling run local[{cpus}]")
 
 
+def _emit(payload: dict, _first: list = [True]) -> None:  # noqa: B006
+    """Print one JSON line NOW (flushed) and append it to the sidecar.
+    Called after every completed section so a mid-run kill still
+    leaves the most complete measurement as the last parseable line."""
+    line = json.dumps(payload)
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
+    try:
+        with open(
+            os.path.join(REPO, ".bench_sections.jsonl"),
+            "w" if _first[0] else "a",
+        ) as f:
+            f.write(line + "\n")
+        _first[0] = False
+    except OSError:
+        pass
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from idd_hw6_record_linkage_spark.session import get_spark
@@ -294,7 +395,18 @@ def main() -> None:
     # has: round-3's recorded headline regressions (total 61.4 s vs the
     # same code's quiet 46.0 s) were ambient neighbor load the harness
     # already knows how to dodge — it just wasn't dodging it here.
-    headline_gate = wait_for_quiet()
+    # Gate waiting across the whole headline section is capped by
+    # HEADLINE_GATE_BUDGET: waiting is better than measuring a storm,
+    # but 16 × 90 s of worst-case waiting is an artifact-killer.
+    gate_budget = [HEADLINE_GATE_BUDGET]
+
+    def gated_wait(max_wait: float) -> float:
+        t0 = time.time()
+        load = wait_for_quiet(max_wait=int(min(max_wait, gate_budget[0])))
+        gate_budget[0] = max(0.0, gate_budget[0] - (time.time() - t0))
+        return load
+
+    headline_gate = gated_wait(240)
     queries = entry_mod.queries()
     # One untimed warmup covering the whole execution surface (parquet
     # scan, whole-stage codegen JIT, Arrow-batched Python UDF worker
@@ -312,7 +424,7 @@ def main() -> None:
         # section is ~a minute per query — one gate at the top lets a
         # storm arriving mid-section inflate every remaining query
         # (round-4: total 112 s vs the same code's quiet 46 s).
-        headline_gates.append(wait_for_quiet(max_wait=90))
+        headline_gates.append(gated_wait(90))
         t0 = time.time()
         df = queries[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
@@ -328,7 +440,7 @@ def main() -> None:
     # N_ENTITIES) so the flagship_pipeline timing stays comparable
     # across rounds.
     flagship_n = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ENTITIES", "4200"))
-    headline_gates.append(wait_for_quiet(max_wait=90))
+    headline_gates.append(gated_wait(90))
     t0 = time.time()
     raw = generate_raw(spark, flagship_n, partitions=32)
     pages = raw.select("url", "warc_ts", "html", "text", "lang")
@@ -337,6 +449,48 @@ def main() -> None:
     timings["flagship_pipeline"] = round(time.time() - t0, 3)
     total += timings["flagship_pipeline"]
     spark.stop()
+
+    # Base payload — emitted (and re-emitted, extended) after every
+    # completed section from here on.
+    result: dict = {
+        "metric": "linkage_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "headline_gate_load_1m": round(headline_gate, 2),
+        "headline_gate_loads": [round(g, 2) for g in headline_gates],
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "partial": True,
+    }
+    _emit(result)
+
+    # Streaming increment micro-bench: the incremental_scored
+    # availableNow drain at the same two parallelism levels the
+    # scaling section uses. Reported, not gated — a streaming drain
+    # carries per-micro-batch fixed overhead the batch path does not,
+    # so its level ratio is informational.
+    import shutil
+    import tempfile
+
+    stream_wd = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        s_lo = run_streaming_level(SCALE_LO, stream_wd + "/lo")
+        s_hi = run_streaming_level(SCALE_HI, stream_wd + "/hi")
+        result["streaming_increment"] = {
+            f"local{SCALE_LO}": s_lo,
+            f"local{SCALE_HI}": s_hi,
+            "arrivals_per_sec": s_hi["arrivals_per_sec"],
+            "level_ratio": round(
+                s_hi["arrivals_per_sec"]
+                / ((SCALE_HI / SCALE_LO) * s_lo["arrivals_per_sec"]),
+                4,
+            ),
+        }
+    except Exception as exc:  # noqa: BLE001 — report, don't kill the bench
+        result["streaming_increment"] = {"error": str(exc)[-500:]}
+    finally:
+        shutil.rmtree(stream_wd, ignore_errors=True)
+    _emit(result)
 
     # The shared host sees multi-minute neighbor-load storms (observed
     # 1-min load 6→18 with zero local processes) plus slow ambient
@@ -433,14 +587,47 @@ def main() -> None:
         e, h, l = min(scored, key=lambda t: t[0])
         return 0.98, h, l, False, "implausible_all_rounds_clamped"
 
-    import shutil
-    import tempfile
-
     stage_dir = tempfile.mkdtemp(prefix="bench_scale_stage_")
     prep = stage_scaling_input(stage_dir)
     gates = [wait_for_quiet()]
     rounds: list[tuple[dict, dict]] = []
-    efficiency = 0.0
+
+    def scaling_payload(hi, lo, clean, selection, efficiency) -> dict:
+        return {
+            "staged_input": prep,
+            f"local{SCALE_LO}": lo,
+            f"local{SCALE_HI}": hi,
+            f"local{SCALE_LO}_runs": [
+                l["pairs_scored_per_sec"] for _, l in rounds
+            ],
+            f"local{SCALE_HI}_runs": [
+                h["pairs_scored_per_sec"] for h, _ in rounds
+            ],
+            f"local{SCALE_LO}_loads": [
+                round(l["host_load_1m"], 2) for _, l in rounds
+            ],
+            f"local{SCALE_HI}_loads": [
+                round(h["host_load_1m"], 2) for h, _ in rounds
+            ],
+            "round_efficiencies": [
+                round(pair_eff(h, l), 4) for h, l in rounds
+            ],
+            f"local{SCALE_LO}_scoring_sec": [
+                l["scoring_sec"] for _, l in rounds
+            ],
+            f"local{SCALE_HI}_scoring_sec": [
+                h["scoring_sec"] for h, _ in rounds
+            ],
+            "gate_load_1m": [round(g, 2) for g in gates],
+            "selected_round_clean": clean,
+            "selection": selection,
+            "estimator": "best clean condition-matched [HI,LO] round",
+            "efficiency": round(efficiency, 4),
+        }
+
+    result["scaling"] = {"staged_input": prep}
+    _emit(result)
+
     t_scale0 = time.time()
     budget_left = lambda: time.time() - t_scale0 < SCALE_BUDGET_SEC  # noqa: E731
     for rnd in range(max(1, SCALE_ROUNDS)):
@@ -451,6 +638,12 @@ def main() -> None:
         got[order[1]] = run_scaling_level(order[1], stage_dir)
         rounds.append((got[SCALE_HI], got[SCALE_LO]))
         efficiency, hi, lo, clean, selection = best_round(rounds)
+        # Emit after EVERY round: a kill during round k+1 still leaves
+        # round k's best selection as the last parseable line.
+        result["scaling"] = scaling_payload(hi, lo, clean, selection, efficiency)
+        result["pairs_scored_per_sec"] = hi["pairs_scored_per_sec"]
+        result["unique_pairs_per_sec"] = hi["unique_pairs_per_sec"]
+        _emit(result)
         # Early exit ONLY on a valid (clean, plausible) round at/above
         # the bar. A fallback number must never end the loop early: a
         # >0.98 ratio means that round's LO was deflated (measured in
@@ -464,52 +657,8 @@ def main() -> None:
             break
         gates.append(wait_for_quiet(max_wait=180))
 
-    print(
-        json.dumps(
-            {
-                "metric": "linkage_bench_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "headline_gate_load_1m": round(headline_gate, 2),
-                "headline_gate_loads": [round(g, 2) for g in headline_gates],
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "scaling": {
-                    "staged_input": prep,
-                    f"local{SCALE_LO}": lo,
-                    f"local{SCALE_HI}": hi,
-                    f"local{SCALE_LO}_runs": [
-                        l["pairs_scored_per_sec"] for _, l in rounds
-                    ],
-                    f"local{SCALE_HI}_runs": [
-                        h["pairs_scored_per_sec"] for h, _ in rounds
-                    ],
-                    f"local{SCALE_LO}_loads": [
-                        round(l["host_load_1m"], 2) for _, l in rounds
-                    ],
-                    f"local{SCALE_HI}_loads": [
-                        round(h["host_load_1m"], 2) for h, _ in rounds
-                    ],
-                    "round_efficiencies": [
-                        round(pair_eff(h, l), 4) for h, l in rounds
-                    ],
-                    f"local{SCALE_LO}_scoring_sec": [
-                        l["scoring_sec"] for _, l in rounds
-                    ],
-                    f"local{SCALE_HI}_scoring_sec": [
-                        h["scoring_sec"] for h, _ in rounds
-                    ],
-                    "gate_load_1m": [round(g, 2) for g in gates],
-                    "selected_round_clean": clean,
-                    "selection": selection,
-                    "estimator": "best clean condition-matched [HI,LO] round",
-                    "efficiency": round(efficiency, 4),
-                },
-                "pairs_scored_per_sec": hi["pairs_scored_per_sec"],
-                "unique_pairs_per_sec": hi["unique_pairs_per_sec"],
-            }
-        )
-    )
+    result["partial"] = False
+    _emit(result)
     shutil.rmtree(stage_dir, ignore_errors=True)
 
 

@@ -1366,6 +1366,62 @@ ASOF LEFT JOIN
 """
 
 
+def events_asof_skew(spark, sf_dir):
+    """Skew-stress as-of join: a planted mega-key (30% of all users
+    remapped onto user 1) probed through the TWO-PASS coarse-bucket
+    plan (operators.asof coarse_bucket='day' — per-(key, day) windows
+    + a per-bucket carry pass), value-checked against DuckDB's native
+    ASOF LEFT JOIN over the identically-remapped tables. The uniform
+    events_asof_signup oracle can't see a salting/carry bug; this one
+    exists to catch it."""
+    from idd_hw6_record_linkage_spark.operators import asof
+
+    ev = _scan(spark, sf_dir, "events")
+    hot = (
+        F.when(F.col("user_id") % 10 < 3, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", hot.alias("user_id"), "ts"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .where(F.col("ts").isNotNull())
+        .select(hot.alias("user_id"), F.col("ts").alias("signup_ts"))
+    )
+    out = asof.asof_join_backward(
+        purchases, signups, "user_id", "ts", "signup_ts",
+        coarse_bucket="day",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(
+            F.col("asof").getField("signup_ts").cast("timestamp")
+        ).alias("signup_ts_us"),
+    )
+
+
+SQL_EVENTS_ASOF_SKEW = """
+WITH ev2 AS (
+  SELECT event_id,
+         CASE WHEN user_id % 10 < 3 THEN 1 ELSE user_id END AS user_id,
+         ts, event_type
+  FROM events
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(s.signup_ts) AS signup_ts_us
+FROM (SELECT event_id, user_id, ts FROM ev2
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, ts AS signup_ts FROM ev2
+      WHERE event_type = 'signup' AND ts IS NOT NULL) s
+  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+"""
+
+
 def events_range_join(spark, sf_dir):
     """Range (point-in-interval) join (operators.range_join): every
     purchase within 3 days at-or-after a signup by the same user —
@@ -2421,57 +2477,21 @@ SELECT
 
 # --- registry -----------------------------------------------------------------
 
+# ORDERING POLICY: the driver's CORRECTNESS artifact checks the FIRST
+# 50 entries, so newest / least-proven queries go first and the oldest
+# long-green trivial ones are parked at the END (they are still run by
+# scripts/check_oracles.py's full sweep and by pytest). When adding a
+# query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "rl_block_keys": rl_block_keys,
-    "rl_block_stats": rl_block_stats,
-    "rl_block_histogram": rl_block_histogram,
-    "rl_reduction_ratio": rl_reduction_ratio,
-    "rl_top_blocks": rl_top_blocks,
-    "rl_candidate_pairs": rl_candidate_pairs,
-    "rl_pair_features": rl_pair_features,
-    "rl_match_edges": rl_match_edges,
-    "rl_eval_metrics": rl_eval_metrics,
-    "rl_clusters": rl_clusters,
-    "rl_audit_metrics": rl_audit_metrics,
-    "rl_cross_source_matches": rl_cross_source_matches,
-    "pair_tfidf_cosine": pair_tfidf_cosine,
-    "profile_documents": profile_documents,
-    "dedup_exact": dedup_exact,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
-    "dedup_minhash_capped_recall": dedup_minhash_capped_recall,
-    "dedup_doc_clusters": dedup_doc_clusters,
-    "dedup_cluster_stats": dedup_cluster_stats,
-    "dedup_simhash": dedup_simhash,
-    "text_token_count": text_token_count,
-    "text_token_count_bpe": text_token_count_bpe,
-    "text_stopword_ratio": text_stopword_ratio,
-    "text_quality": text_quality,
-    "text_repetition": text_repetition,
-    "text_lang_id": text_lang_id,
-    "text_fingerprint": text_fingerprint,
-    "ann_topk_brute": ann_topk_brute,
-    "ann_topk_lsh": ann_topk_lsh,
-    "ann_lsh_recall": ann_lsh_recall,
-    "ann_ivf_recall": ann_ivf_recall,
-    "url_canonicalize": url_canonicalize,
-    "recrawl_collapse": recrawl_collapse,
-    "corpus_quality_filter": corpus_quality_filter,
-    "dedup_lines": dedup_lines,
-    "pii_redact": pii_redact,
-    "corpus_sample": corpus_sample,
-    "corpus_pack_shards": corpus_pack_shards,
-    "text_span_dup": text_span_dup,
-    "corpus_vocab_topk": corpus_vocab_topk,
+    # -- new or behavior-changed this round -----------------------------
+    "events_asof_skew": events_asof_skew,
     "events_asof_signup": events_asof_signup,
-    "events_range_join": events_range_join,
-    "events_value_quantiles": events_value_quantiles,
     "events_moving_avg": events_moving_avg,
-    "events_pivot": events_pivot,
-    "events_unpivot": events_unpivot,
-    "events_approx_distinct_gate": events_approx_distinct_gate,
+    "text_span_dup": text_span_dup,
+    "dedup_lines": dedup_lines,
+    "ann_ivf_recall": ann_ivf_recall,
+    # -- got no driver CORRECTNESS row in round 4 (QUERIES order put
+    #    them past the 50-row cap) ---------------------------------------
     "tpch_rollup_pricing": tpch_rollup_pricing,
     "quality_model_gate": quality_model_gate,
     "text_compression_gate": text_compression_gate,
@@ -2481,6 +2501,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_agg_pricing": tpch_agg_pricing,
     "join_topk_customers": join_topk_customers,
     "semi_anti_customers": semi_anti_customers,
+    # -- standing coverage ----------------------------------------------
+    "rl_block_stats": rl_block_stats,
+    "rl_candidate_pairs": rl_candidate_pairs,
+    "rl_pair_features": rl_pair_features,
+    "rl_match_edges": rl_match_edges,
+    "rl_eval_metrics": rl_eval_metrics,
+    "rl_clusters": rl_clusters,
+    "rl_audit_metrics": rl_audit_metrics,
+    "rl_cross_source_matches": rl_cross_source_matches,
+    "pair_tfidf_cosine": pair_tfidf_cosine,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
+    "dedup_minhash_capped_recall": dedup_minhash_capped_recall,
+    "dedup_doc_clusters": dedup_doc_clusters,
+    "dedup_cluster_stats": dedup_cluster_stats,
+    "dedup_simhash": dedup_simhash,
+    "text_token_count_bpe": text_token_count_bpe,
+    "text_quality": text_quality,
+    "text_repetition": text_repetition,
+    "text_lang_id": text_lang_id,
+    "ann_topk_brute": ann_topk_brute,
+    "ann_topk_lsh": ann_topk_lsh,
+    "ann_lsh_recall": ann_lsh_recall,
+    "recrawl_collapse": recrawl_collapse,
+    "corpus_quality_filter": corpus_quality_filter,
+    "pii_redact": pii_redact,
+    "corpus_sample": corpus_sample,
+    "corpus_pack_shards": corpus_pack_shards,
+    "corpus_vocab_topk": corpus_vocab_topk,
+    "events_range_join": events_range_join,
+    "events_value_quantiles": events_value_quantiles,
+    "events_pivot": events_pivot,
+    "events_unpivot": events_unpivot,
+    "events_approx_distinct_gate": events_approx_distinct_gate,
+    # -- parked past the driver's 50-row cap: value-exact green in every
+    #    driver artifact since round 1, trivial plans, still swept by
+    #    scripts/check_oracles.py --------------------------------------
+    "rl_block_keys": rl_block_keys,
+    "rl_block_histogram": rl_block_histogram,
+    "rl_reduction_ratio": rl_reduction_ratio,
+    "rl_top_blocks": rl_top_blocks,
+    "profile_documents": profile_documents,
+    "dedup_exact": dedup_exact,
+    "text_token_count": text_token_count,
+    "text_stopword_ratio": text_stopword_ratio,
+    "text_fingerprint": text_fingerprint,
+    "url_canonicalize": url_canonicalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2529,6 +2598,7 @@ ORACLES: dict[str, str] = {
     "text_span_dup": SQL_TEXT_SPAN_DUP,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
+    "events_asof_skew": SQL_EVENTS_ASOF_SKEW,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
