@@ -33,9 +33,12 @@ Operator coverage mapping (SURVEY §2):
 - corpus sampling / shard packing:   corpus_sample, corpus_pack_shards
 - duplicated-span (exact substring): text_span_dup
 - trainable quality classifier:      quality_model_gate (tripwire)
+- active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
 - corpus vocabulary top-k:           corpus_vocab_topk
-- as-of join (temporal):             events_asof_signup
+- as-of join (temporal):             events_asof_signup,
+                                     events_asof_skew (mega-key via
+                                     two-pass coarse-bucket plan)
 - range join (point-in-interval):    events_range_join
 - exact quantiles / ROLLUP:          events_value_quantiles,
                                      tpch_rollup_pricing
@@ -1767,6 +1770,99 @@ SELECT CAST(1 AS BIGINT) AS has_rows, CAST(1 AS BIGINT) AS auc_pass,
 """
 
 
+def rl_active_learning_gate(spark, sf_dir):
+    """Active-learning lifecycle tripwire (M4, the quality_model_gate
+    pattern — flags, not value recomputation): a margin-separated
+    synthetic pair pool keyed off doc_ids, the uncertainty-sampling
+    loop (operators.active_learning) with a 6-seed + 3×15 budget, and
+    pass flags on (a) the label budget being respected, (b) the final
+    model reaching ≥0.95 pool accuracy, (c) the loop having labeled
+    under a quarter of the pool — i.e. the model got near-perfect
+    while querying the oracle for a small fraction of pairs, which is
+    the entire point of uncertainty sampling."""
+    from pyspark.sql import Window
+
+    from idd_hw6_record_linkage_spark.operators import active_learning as AL
+    from idd_hw6_record_linkage_spark.operators.scoring import (
+        Comparator,
+        ComparatorConfig,
+        predict_probability,
+    )
+
+    cfg = ComparatorConfig(
+        "al_gate",
+        (
+            Comparator("f1", "exact", "a"),
+            Comparator("f2", "exact", "b"),
+            Comparator("f3", "exact", "c"),
+        ),
+    )
+    pool = (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(F.lit("L"), F.col("doc_id")).alias("id_l"),
+            F.concat(F.lit("R"), F.col("doc_id")).alias("id_r"),
+            (F.pmod(F.xxhash64("doc_id", F.lit(1)), 1000) / 1000.0).alias("f1"),
+            (F.pmod(F.xxhash64("doc_id", F.lit(2)), 1000) / 1000.0).alias("f2"),
+            (F.pmod(F.xxhash64("doc_id", F.lit(3)), 1000) / 1000.0).alias("f3"),
+        )
+        .withColumn("__s", (F.col("f1") + F.col("f2") + F.col("f3")) / 3.0)
+        .where(F.abs(F.col("__s") - 0.5) > 0.05)
+        .withColumn("label", (F.col("__s") > 0.5).cast("int"))
+        .drop("__s")
+        .cache()
+    )
+    n_pool = pool.count()
+    feats = pool.select("id_l", "id_r", "f1", "f2", "f3")
+    seed = (
+        pool.withColumn("__h", F.xxhash64("id_l"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("label").orderBy("__h")),
+        )
+        .where(F.col("__rk") <= 3)
+        .select("id_l", "id_r", "label")
+    )
+
+    def oracle(pairs):
+        return pairs.join(
+            pool.select("id_l", "id_r", "label"), ["id_l", "id_r"]
+        )
+
+    assembler, model, labeled, _hist = AL.active_learn_lr(
+        feats, oracle, cfg, seed, rounds=3, batch_size=15
+    )
+    n_labels = labeled.count()
+    acc = (
+        predict_probability(feats, assembler, model)
+        .join(pool.select("id_l", "id_r", "label"), ["id_l", "id_r"])
+        .select(
+            F.avg(
+                ((F.col("score") > 0.5).cast("int") == F.col("label"))
+                .cast("double")
+            ).alias("acc")
+        )
+        .collect()[0]["acc"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_pool > 0),
+                int(n_labels <= 6 + 3 * 15),
+                int(acc >= 0.95),
+                int(n_labels * 4 < n_pool),
+            )
+        ],
+        "has_rows long, budget_pass long, acc_pass long, frac_pass long",
+    )
+
+
+SQL_RL_ACTIVE_LEARNING_GATE = """
+SELECT CAST(1 AS BIGINT) AS has_rows, CAST(1 AS BIGINT) AS budget_pass,
+       CAST(1 AS BIGINT) AS acc_pass, CAST(1 AS BIGINT) AS frac_pass
+"""
+
+
 def text_compression_gate(spark, sf_dir):
     """Compression-ratio quality signal tripwire (no SQL zlib exists,
     so this is the flags pattern): md5-fate picks ~half the docs and
@@ -2484,6 +2580,7 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_active_learning_gate": rl_active_learning_gate,
     "events_asof_skew": events_asof_skew,
     "events_asof_signup": events_asof_signup,
     "events_moving_avg": events_moving_avg,
@@ -2536,10 +2633,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_quantiles": events_value_quantiles,
     "events_pivot": events_pivot,
     "events_unpivot": events_unpivot,
-    "events_approx_distinct_gate": events_approx_distinct_gate,
-    # -- parked past the driver's 50-row cap: value-exact green in every
-    #    driver artifact since round 1, trivial plans, still swept by
+    # -- parked past the driver's 50-row cap: green in every driver
+    #    artifact they appeared in, trivial plans, still swept by
     #    scripts/check_oracles.py --------------------------------------
+    "events_approx_distinct_gate": events_approx_distinct_gate,
     "rl_block_keys": rl_block_keys,
     "rl_block_histogram": rl_block_histogram,
     "rl_reduction_ratio": rl_reduction_ratio,
@@ -2607,9 +2704,11 @@ ORACLES: dict[str, str] = {
     # events_approx_distinct_gate: HLL sketch — flags (approximation):
     "events_approx_distinct_gate": SQL_EVENTS_APPROX_DISTINCT_GATE,
     "tpch_rollup_pricing": SQL_TPCH_ROLLUP_PRICING,
-    # quality_model_gate: ML lifecycle — flags, not recomputation
-    # (tripwire pattern, documented in COVERAGE.md):
+    # quality_model_gate / rl_active_learning_gate: ML lifecycle —
+    # flags, not recomputation (tripwire pattern, documented in
+    # COVERAGE.md):
     "quality_model_gate": SQL_QUALITY_MODEL_GATE,
+    "rl_active_learning_gate": SQL_RL_ACTIVE_LEARNING_GATE,
     # text_compression_gate: zlib signal — flags (no SQL zlib):
     "text_compression_gate": SQL_TEXT_COMPRESSION_GATE,
     "events_windowed_agg": SQL_EVENTS_WINDOWED_AGG,

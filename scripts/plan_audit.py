@@ -56,6 +56,7 @@ AUDITED = [
     "corpus_pack_shards",
     "corpus_vocab_topk",
     "events_asof_signup",
+    "events_asof_skew",
     "events_range_join",
     "events_pivot",
     "events_moving_avg",
