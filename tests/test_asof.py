@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from idd_hw6_record_linkage_spark.operators import asof
@@ -177,33 +178,125 @@ def test_asof_coarse_bucket_equals_one_pass_with_hot_key(spark):
         assert two_pass == naive, f"coarse_bucket={unit} diverged"
 
 
-def test_asof_matches_pandas_merge_asof(spark):
-    """Randomized cross-check vs pandas.merge_asof on one key."""
+def _pandas_fixture(seed=7, n_l=200, n_r=80, n_keys=3):
     import numpy as np
     import pandas as pd
 
-    rng = np.random.RandomState(7)
-    lts = np.sort(rng.randint(0, 10_000, 200))
-    rts = np.sort(rng.randint(0, 10_000, 80))
+    rng = np.random.RandomState(seed)
     lpd = pd.DataFrame(
-        {"event_id": range(200), "k": 1,
-         "ts": pd.to_datetime(lts, unit="s")}
+        {
+            "event_id": range(n_l),
+            "k": rng.randint(1, n_keys + 1, n_l),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, n_l), unit="s"),
+        }
+    ).sort_values("ts", kind="stable").reset_index(drop=True)
+    rpd = pd.DataFrame(
+        {
+            "k": rng.randint(1, n_keys + 1, n_r),
+            "rts": pd.to_datetime(
+                np.sort(rng.randint(0, 10_000, n_r)), unit="s"
+            ),
+        }
     )
-    rpd = pd.DataFrame({"k": 1, "rts": pd.to_datetime(rts, unit="s")})
+    return lpd, rpd
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_matches_pandas_merge_asof(spark, direction):
+    """Randomized multi-key cross-check vs pandas.merge_asof for all
+    three directions (pandas is the semantics oracle, including the
+    nearest tie → backward rule)."""
+    import pandas as pd
+
+    lpd, rpd = _pandas_fixture()
     want = pd.merge_asof(
-        lpd, rpd, left_on="ts", right_on="rts", by="k"
+        lpd, rpd.sort_values("rts"), left_on="ts", right_on="rts",
+        by="k", direction=direction,
     ).set_index("event_id")["rts"]
-    out = asof.asof_join_backward(
+    out = asof.asof_join(
         spark.createDataFrame(lpd),
         spark.createDataFrame(rpd),
         "k",
         "ts",
         "rts",
+        direction=direction,
+    ).collect()
+    assert len(out) == len(lpd)
+    for r in out:
+        exp = want[r["event_id"]]
+        got = r["asof"]["rts"] if r["asof"] is not None else None
+        if pd.isna(exp):
+            assert got is None, (direction, r["event_id"])
+        else:
+            assert got == exp.to_pydatetime(), (direction, r["event_id"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_tolerance_matches_pandas(spark, direction):
+    import pandas as pd
+
+    lpd, rpd = _pandas_fixture(seed=13)
+    tol_s = 120
+    want = pd.merge_asof(
+        lpd, rpd.sort_values("rts"), left_on="ts", right_on="rts",
+        by="k", direction=direction, tolerance=pd.Timedelta(seconds=tol_s),
+    ).set_index("event_id")["rts"]
+    out = asof.asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        "k",
+        "ts",
+        "rts",
+        direction=direction,
+        tolerance=tol_s,
     ).collect()
     for r in out:
         exp = want[r["event_id"]]
         got = r["asof"]["rts"] if r["asof"] is not None else None
         if pd.isna(exp):
-            assert got is None
+            assert got is None, (direction, r["event_id"])
         else:
-            assert got == exp.to_pydatetime()
+            assert got == exp.to_pydatetime(), (direction, r["event_id"])
+
+
+def test_asof_forward_coarse_bucket_equals_one_pass(spark):
+    """The forward two-pass mode must equal the one-pass plan (carry
+    must come from LATER buckets, crossing empty ones)."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, int(k), base + dt.timedelta(seconds=int(rng.randint(0, 864000))))
+        for i, k in enumerate(rng.randint(1, 6, 300))
+    ]
+    rrows = []
+    for k in range(1, 6):
+        for j in range(4):
+            ts = int(rng.randint(0, 864000))
+            if k == 1 and 2 * 86400 <= ts < 6 * 86400:
+                ts = ts % (2 * 86400)  # empty middle days for key 1
+            rrows.append((k, base + dt.timedelta(seconds=ts), f"{k}:{j}"))
+    left = _df(spark, lrows, "event_id long, user_id long, ts timestamp")
+    right = _df(spark, rrows, "user_id long, rts timestamp, tag string")
+
+    def run(**kw):
+        return {
+            r["event_id"]: (r["asof"]["rts"], r["asof"]["tag"])
+            if r["asof"] is not None else None
+            for r in asof.asof_join(
+                left, right, "user_id", "ts", "rts",
+                direction="forward", right_tiebreak="tag", **kw,
+            ).collect()
+        }
+
+    assert run(coarse_bucket="day") == run()
+
+
+def test_asof_nearest_rejects_coarse_bucket(spark):
+    left = _df(spark, [(1, 10, T(2024, 1, 1))],
+               "event_id long, user_id long, ts timestamp")
+    right = _df(spark, [(10, T(2024, 1, 1))], "user_id long, rts timestamp")
+    with pytest.raises(ValueError, match="nearest"):
+        asof.asof_join(left, right, "user_id", "ts", "rts",
+                       direction="nearest", coarse_bucket="day")
