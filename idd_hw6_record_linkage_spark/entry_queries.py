@@ -36,7 +36,9 @@ Operator coverage mapping (SURVEY §2):
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
 - corpus vocabulary top-k:           corpus_vocab_topk
-- as-of join (temporal):             events_asof_signup,
+- as-of join (temporal):             events_asof_signup (backward),
+                                     events_asof_forward,
+                                     events_asof_nearest (+tolerance),
                                      events_asof_skew (mega-key via
                                      two-pass coarse-bucket plan)
 - range join (point-in-interval):    events_range_join
@@ -1425,6 +1427,105 @@ ASOF LEFT JOIN
 """
 
 
+def events_asof_forward(spark, sf_dir):
+    """Forward as-of join (operators.asof direction='forward'): every
+    signup matched to the user's EARLIEST purchase at-or-after it.
+    DuckDB expresses forward as-of natively (`ASOF LEFT JOIN ... ON
+    l.ts <= r.ts`), so this is value-exact."""
+    from idd_hw6_record_linkage_spark.operators import asof
+
+    ev = _scan(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+    )
+    out = asof.asof_join(
+        signups, purchases, "user_id", "ts", "purchase_ts",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(
+            F.col("asof").getField("purchase_ts").cast("timestamp")
+        ).alias("purchase_ts_us"),
+    )
+
+
+SQL_EVENTS_ASOF_FORWARD = """
+SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+       epoch_us(p.purchase_ts) AS purchase_ts_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'signup') s
+ASOF LEFT JOIN
+     (SELECT user_id, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+  ON s.user_id = p.user_id AND s.ts <= p.purchase_ts
+"""
+
+
+def events_asof_nearest(spark, sf_dir):
+    """Nearest as-of join with tolerance (operators.asof
+    direction='nearest', tolerance=7 days): every purchase matched to
+    the user's closest signup in either direction, ties broken
+    backward (the pandas rule), matches farther than 7 days dropped.
+    The oracle recomputes nearest-with-tie-rule via a ranked candidate
+    join — quadratic per user, fine for an oracle, never for the
+    engine."""
+    from idd_hw6_record_linkage_spark.operators import asof
+
+    ev = _scan(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").alias("signup_ts"))
+    )
+    out = asof.asof_join(
+        purchases, signups, "user_id", "ts", "signup_ts",
+        direction="nearest", tolerance=7 * 86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(
+            F.col("asof").getField("signup_ts").cast("timestamp")
+        ).alias("signup_ts_us"),
+    )
+
+
+SQL_EVENTS_ASOF_NEAREST = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, ts AS signup_ts FROM events
+  WHERE event_type = 'signup' AND ts IS NOT NULL
+), cand AS (
+  SELECT p.event_id, s.signup_ts,
+         abs(epoch_us(p.ts) - epoch_us(s.signup_ts)) AS d,
+         CASE WHEN s.signup_ts <= p.ts THEN 0 ELSE 1 END AS fwd
+  FROM p JOIN s USING (user_id)
+  WHERE abs(epoch_us(p.ts) - epoch_us(s.signup_ts)) <= 604800000000
+), best AS (
+  SELECT event_id, signup_ts,
+         row_number() OVER (PARTITION BY event_id ORDER BY d, fwd) AS rk
+  FROM cand
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(b.signup_ts) AS signup_ts_us
+FROM p LEFT JOIN (SELECT event_id, signup_ts FROM best WHERE rk = 1) b
+  USING (event_id)
+"""
+
+
 def events_range_join(spark, sf_dir):
     """Range (point-in-interval) join (operators.range_join): every
     purchase within 3 days at-or-after a signup by the same user —
@@ -2581,6 +2682,8 @@ SELECT
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_active_learning_gate": rl_active_learning_gate,
+    "events_asof_forward": events_asof_forward,
+    "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
     "events_asof_signup": events_asof_signup,
     "events_moving_avg": events_moving_avg,
@@ -2695,6 +2798,8 @@ ORACLES: dict[str, str] = {
     "text_span_dup": SQL_TEXT_SPAN_DUP,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
+    "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
+    "events_asof_nearest": SQL_EVENTS_ASOF_NEAREST,
     "events_asof_skew": SQL_EVENTS_ASOF_SKEW,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,

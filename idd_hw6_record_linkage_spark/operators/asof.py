@@ -53,9 +53,11 @@ _INTERNAL = ("__key", "__ts", "__side", "__l", "__r", "__bucket")
 
 def _ts_num(col: Column, dtype) -> Column:
     """Numeric basis for time-distance arithmetic: microseconds for
-    timestamps, the raw value for numeric ts columns."""
+    timestamps, the raw value for numeric ts columns. TIMESTAMP_NTZ
+    needs the cast — unix_micros accepts only TIMESTAMP, and with the
+    session pinned to UTC the cast is an identity relabel."""
     if isinstance(dtype, (TimestampType, TimestampNTZType)):
-        return F.unix_micros(col)
+        return F.unix_micros(col.cast("timestamp"))
     return col.cast("double")
 
 
