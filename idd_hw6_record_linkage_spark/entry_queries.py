@@ -32,6 +32,8 @@ Operator coverage mapping (SURVEY §2):
 - PII redaction:                     pii_redact
 - corpus sampling / shard packing:   corpus_sample, corpus_pack_shards
 - duplicated-span (exact substring): text_span_dup
+- benchmark decontamination:         corpus_decontaminate
+- unigram-LM cross-entropy signal:   lm_cross_entropy
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -2055,6 +2057,95 @@ FROM documents LEFT JOIN per ON documents.doc_id = per.doc_id
 """
 
 
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators.decontaminate): the
+    documents with doc_id % 37 == 0 play the benchmark probe set;
+    every document sharing any 3-token window with a probe verbatim
+    is flagged contaminated (window=3 for natural collisions in the
+    testdata corpus, the text_span_dup trick; production default is
+    13). md5_60 keys so the oracle recomputes the exact key space."""
+    from idd_hw6_record_linkage_spark.operators import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    out = decontaminate.contamination_stats(
+        docs, probes, "doc_id", "text", "doc_id", "text",
+        window=3, base="md5_60",
+    )
+    return out.select(
+        "doc_id", "n_windows", "n_contaminated", "is_contaminated"
+    )
+
+
+SQL_CORPUS_DECONTAMINATE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), wins AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, len(w) - 3 + 1),
+      i -> ('0x' || substr(md5(
+              array_to_string(list_slice(w, i + 1, i + 3), ' ')
+            ), 1, 15))::BIGINT)) AS win_key
+  FROM d WHERE len(w) >= 3
+), probe_keys AS (
+  SELECT DISTINCT win_key FROM wins WHERE doc_id % 37 = 0
+), per AS (
+  SELECT wins.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN probe_keys.win_key IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_cont
+  FROM wins LEFT JOIN probe_keys USING (win_key) GROUP BY 1
+)
+SELECT documents.doc_id,
+  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(per.n_cont, 0) AS BIGINT) AS n_contaminated,
+  coalesce(per.n_cont, 0) > 0 AS is_contaminated
+FROM documents LEFT JOIN per ON documents.doc_id = per.doc_id
+"""
+
+
+def lm_cross_entropy(spark, sf_dir):
+    """Unigram-LM quality signal (operators.lm_score): fit a
+    Laplace(0.5)-smoothed unigram LM on the even-doc_id half of the
+    corpus (the 'trusted reference corpus' role), score EVERY document
+    by per-token cross-entropy — odd docs exercise the OOV path. All
+    native ln/avg exprs, so the oracle recomputes the exact model."""
+    from idd_hw6_record_linkage_spark.operators import lm_score as LM
+
+    docs = _docs(spark, sf_dir)
+    model = LM.fit_unigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    out = LM.lm_score(docs, model)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+    )
+
+
+SQL_LM_CROSS_ENTROPY = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), ref AS (
+  SELECT token, count(*) AS cnt FROM toks WHERE doc_id % 2 = 0 GROUP BY 1
+), z AS (
+  SELECT sum(cnt) AS n, count(*) AS v FROM ref
+), scored AS (
+  SELECT toks.doc_id,
+         coalesce(ln(ref.cnt + 0.5), ln(0.5)) - ln(z.n + 0.5 * (z.v + 1))
+           AS lp
+  FROM toks LEFT JOIN ref USING (token), z
+), per AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(-lp) AS ce FROM scored GROUP BY 1
+)
+SELECT documents.doc_id,
+  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(round(per.ce, 4) AS DOUBLE) AS cross_entropy
+FROM documents LEFT JOIN per ON documents.doc_id = per.doc_id
+"""
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIX_DEFAULT = 0.05
 _SHARD_TOKENS = 10_000
@@ -2560,11 +2651,16 @@ def events_sessionize(spark, sf_dir):
 
     ev = _scan(spark, sf_dir, "events", widen=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts"))
+    # Gap basis is epoch MICROseconds on both sides (unix_timestamp
+    # truncates to whole seconds, DuckDB's epoch() keeps fractions —
+    # the same frame-parity trap events_moving_avg hit).
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     sess = flagged.withColumn(
         "session_seq", F.sum("new_session").over(w).cast("long")
@@ -2579,8 +2675,8 @@ def events_sessionize(spark, sf_dir):
 SQL_EVENTS_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
-    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2682,6 +2778,8 @@ SELECT
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_active_learning_gate": rl_active_learning_gate,
+    "corpus_decontaminate": corpus_decontaminate,
+    "lm_cross_entropy": lm_cross_entropy,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -2796,6 +2894,8 @@ ORACLES: dict[str, str] = {
     "corpus_sample": SQL_CORPUS_SAMPLE,
     "corpus_pack_shards": SQL_CORPUS_PACK_SHARDS,
     "text_span_dup": SQL_TEXT_SPAN_DUP,
+    "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
+    "lm_cross_entropy": SQL_LM_CROSS_ENTROPY,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

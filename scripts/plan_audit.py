@@ -50,6 +50,8 @@ AUDITED = [
     "text_quality",
     "text_lang_id",
     "text_span_dup",
+    "corpus_decontaminate",
+    "lm_cross_entropy",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
