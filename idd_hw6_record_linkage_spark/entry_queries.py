@@ -34,6 +34,7 @@ Operator coverage mapping (SURVEY §2):
 - duplicated-span (exact substring): text_span_dup
 - benchmark decontamination:         corpus_decontaminate
 - unigram-LM cross-entropy signal:   lm_cross_entropy
+- Fellegi-Sunter EM linkage:         rl_fs_match_weights
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -349,6 +350,83 @@ SELECT id_l, id_r,
       + pow(2.0, -pow((nc_l - nc_r) / 100.0, 2))
     ) / 3.0, 6) AS DOUBLE) AS score
 FROM p
+"""
+
+
+_FS_FEATS = ["g_lev", "g_jac", "g_nc"]
+
+
+def rl_fs_match_weights(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage (operators.fellegi_sunter)
+    over the contract pair features, binarized into agreement gammas.
+    Exactly ONE EM iteration from the documented initial parameters
+    (λ0=0.1, m0=0.9, u0=0.1) so the oracle can unroll the E-step and
+    M-step as closed-form SQL; convergence behavior is pytest-covered
+    on planted-parameter data (test_fellegi_sunter)."""
+    from idd_hw6_record_linkage_spark.operators import fellegi_sunter as FS
+
+    pf = rl_pair_features(spark, sf_dir)
+    gam = pf.select(
+        "id_l",
+        "id_r",
+        (F.col("lev_sim") >= 0.9).cast("int").alias("g_lev"),
+        (F.col("jaccard_sim") >= 0.8).cast("int").alias("g_jac"),
+        (F.col("nchars_sim") >= 0.9).cast("int").alias("g_nc"),
+    )
+    params = FS.em_fit(gam, _FS_FEATS, max_iter=1)
+    out = FS.match_weight(gam, params, _FS_FEATS)
+    return out.select(
+        "id_l",
+        "id_r",
+        *_FS_FEATS,
+        F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
+SQL_RL_FS_MATCH_WEIGHTS = f"""
+WITH pf AS ({SQL_RL_PAIR_FEATURES}
+), gam AS (
+  SELECT id_l, id_r,
+         CAST(lev_sim >= 0.9 AS INT) AS g_lev,
+         CAST(jaccard_sim >= 0.8 AS INT) AS g_jac,
+         CAST(nchars_sim >= 0.9 AS INT) AS g_nc
+  FROM pf
+), e AS (
+  SELECT *,
+    1.0 / (1.0 + exp(
+      (ln(0.9) + g_lev * ln(0.1) + (1 - g_lev) * ln(0.9)
+               + g_jac * ln(0.1) + (1 - g_jac) * ln(0.9)
+               + g_nc  * ln(0.1) + (1 - g_nc)  * ln(0.9))
+      - (ln(0.1) + g_lev * ln(0.9) + (1 - g_lev) * ln(0.1)
+                 + g_jac * ln(0.9) + (1 - g_jac) * ln(0.1)
+                 + g_nc  * ln(0.9) + (1 - g_nc)  * ln(0.1))
+    )) AS p
+  FROM gam
+), params AS (
+  SELECT
+    greatest(1e-6, least(1.0 - 1e-6, avg(p))) AS lam,
+    greatest(1e-6, least(1.0 - 1e-6, sum(p * g_lev) / sum(p))) AS m_lev,
+    greatest(1e-6, least(1.0 - 1e-6, sum(p * g_jac) / sum(p))) AS m_jac,
+    greatest(1e-6, least(1.0 - 1e-6, sum(p * g_nc)  / sum(p))) AS m_nc,
+    greatest(1e-6, least(1.0 - 1e-6,
+      sum((1 - p) * g_lev) / sum(1 - p))) AS u_lev,
+    greatest(1e-6, least(1.0 - 1e-6,
+      sum((1 - p) * g_jac) / sum(1 - p))) AS u_jac,
+    greatest(1e-6, least(1.0 - 1e-6,
+      sum((1 - p) * g_nc)  / sum(1 - p))) AS u_nc
+  FROM e
+)
+SELECT gam.id_l, gam.id_r, gam.g_lev, gam.g_jac, gam.g_nc,
+  CAST(round(
+    log2(lam / (1.0 - lam))
+    + g_lev * log2(m_lev / u_lev)
+      + (1 - g_lev) * log2((1.0 - m_lev) / (1.0 - u_lev))
+    + g_jac * log2(m_jac / u_jac)
+      + (1 - g_jac) * log2((1.0 - m_jac) / (1.0 - u_jac))
+    + g_nc * log2(m_nc / u_nc)
+      + (1 - g_nc) * log2((1.0 - m_nc) / (1.0 - u_nc)),
+  6) AS DOUBLE) AS match_weight
+FROM gam, params
 """
 
 
@@ -2780,6 +2858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_active_learning_gate": rl_active_learning_gate,
     "corpus_decontaminate": corpus_decontaminate,
     "lm_cross_entropy": lm_cross_entropy,
+    "rl_fs_match_weights": rl_fs_match_weights,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -2896,6 +2975,7 @@ ORACLES: dict[str, str] = {
     "text_span_dup": SQL_TEXT_SPAN_DUP,
     "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
     "lm_cross_entropy": SQL_LM_CROSS_ENTROPY,
+    "rl_fs_match_weights": SQL_RL_FS_MATCH_WEIGHTS,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

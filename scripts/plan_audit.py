@@ -52,6 +52,7 @@ AUDITED = [
     "text_span_dup",
     "corpus_decontaminate",
     "lm_cross_entropy",
+    "rl_fs_match_weights",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
