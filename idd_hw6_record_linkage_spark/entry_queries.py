@@ -35,6 +35,7 @@ Operator coverage mapping (SURVEY §2):
 - benchmark decontamination:         corpus_decontaminate
 - unigram-LM cross-entropy signal:   lm_cross_entropy
 - Fellegi-Sunter EM linkage:         rl_fs_match_weights
+- sorted-neighborhood blocking:      rl_sorted_neighborhood
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -350,6 +351,44 @@ SELECT id_l, id_r,
       + pow(2.0, -pow((nc_l - nc_r) / 100.0, 2))
     ) / 3.0, 6) AS DOUBLE) AS score
 FROM p
+"""
+
+
+def rl_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators.sorted_neighborhood):
+    records ordered globally by the first 24 chars of trimmed text
+    (doc_id tiebreak), pairs within a 4-position window. Both engines
+    use binary string collation, so the global order — and therefore
+    the pair set — is identical by construction. The Spark side never
+    runs a global window: two-pass range-partitioned prefix count."""
+    from idd_hw6_record_linkage_spark.operators import (
+        sorted_neighborhood as SN,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(F.trim("text"), 1, 24).alias("sn_key")
+    )
+    out = SN.sorted_neighborhood_pairs(
+        docs, "doc_id", "sn_key", window=4
+    )
+    return out.select(
+        F.col("id_l"), "key_l", F.col("id_r"), "key_r", "pos_dist"
+    )
+
+
+SQL_RL_SORTED_NEIGHBORHOOD = """
+WITH k AS (
+  SELECT doc_id, substr(trim(text), 1, 24) AS sn_key
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT doc_id, sn_key,
+         row_number() OVER (ORDER BY sn_key, doc_id) - 1 AS pos
+  FROM k
+)
+SELECT a.doc_id AS id_l, a.sn_key AS key_l,
+       b.doc_id AS id_r, b.sn_key AS key_r,
+       CAST(b.pos - a.pos AS BIGINT) AS pos_dist
+FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 3
 """
 
 
@@ -2859,6 +2898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_decontaminate": corpus_decontaminate,
     "lm_cross_entropy": lm_cross_entropy,
     "rl_fs_match_weights": rl_fs_match_weights,
+    "rl_sorted_neighborhood": rl_sorted_neighborhood,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -2976,6 +3016,7 @@ ORACLES: dict[str, str] = {
     "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
     "lm_cross_entropy": SQL_LM_CROSS_ENTROPY,
     "rl_fs_match_weights": SQL_RL_FS_MATCH_WEIGHTS,
+    "rl_sorted_neighborhood": SQL_RL_SORTED_NEIGHBORHOOD,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

@@ -1,0 +1,124 @@
+"""Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the
+classic alternative to equality blocking: sort all records by a
+blocking key and emit every pair within a sliding window of ``w``
+positions. Catches near-misses that hash/equality blocking drops
+(typo in the block key → different block → pair lost) at a bounded
+candidate cost of ~w·n pairs. Classic practice runs several passes
+with different keys and unions the pairs (`blocking.union_pairs`).
+
+Scale shape — the global sort position is NOT a single unpartitioned
+window (that serializes the corpus through one task, the same trap
+`sampling.pack_shards` documents). Two-pass distributed prefix count:
+
+1. ``repartitionByRange(key, id)`` gives a total order ACROSS
+   partitions (the composite id tiebreak means even a mega-key — every
+   record sharing one key value — is SPLIT across partitions, so no
+   hot key serializes); per-partition row counts (numPartitions
+   scalars) come to the driver once and cumulate into offsets.
+2. ``row_number`` over a window partitioned BY partition id (parallel)
+   plus the partition's offset is the exact global position.
+
+The two passes deliberately RECOMPUTE the range partitioning rather
+than persist/localCheckpoint a corpus-sized intermediate (caching a
+10M-doc frame measurably fights the operators for heap — see
+scripts/corpus_ops_smoke.py): Spark's range-boundary sampling is
+seeded deterministically, so a deterministic input (any engine source)
+partitions identically on both passes and the driver-collected offsets
+stay valid. Callers with a NON-deterministic input (an unseeded
+sample, a fresh uuid column) must persist it first.
+Neighbor pairs are then an EQUI-join: each row exploded to its w-1
+successor positions joins the position column directly — no range
+join, no skew (positions are unique by construction).
+
+Rows with NULL sort keys cannot be ordered and are dropped from the
+neighborhood (callers wanting them must impute a key first) — stated
+contract, tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["global_sort_positions", "sorted_neighborhood_pairs"]
+
+
+def global_sort_positions(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, key, pos): pos is the exact 0-based rank of the row in the
+    global (key, id) order, computed without any global window."""
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        df.where(F.col(key_col).isNotNull())
+        .select(id_col, key_col)
+        .repartitionByRange(parts, F.col(key_col), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    offsets, run = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = run
+        run += r["count"]
+    if not offsets:
+        return ranged.select(
+            id_col, key_col, F.lit(0).cast("long").alias("pos")
+        ).where(F.lit(False))
+    off_df = F.broadcast(
+        spark.createDataFrame(list(offsets.items()), "__pid int, __off long")
+    )
+    w = Window.partitionBy("__pid").orderBy(key_col, id_col)
+    return (
+        ranged.join(off_df, "__pid")
+        .withColumn(
+            "pos",
+            (F.row_number().over(w) - 1 + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_l, key_l, id_r, key_r, pos_dist) for every
+    two records within ``window`` positions of each other in the
+    global (key, id) sort — id_l is the earlier record in sort order;
+    each unordered pair appears exactly once (positions are unique)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2 positions: {window}")
+    pos = global_sort_positions(df, id_col, key_col, num_partitions)
+    left = pos.select(
+        F.col(id_col).alias("id_l"),
+        F.col(key_col).alias("key_l"),
+        F.col("pos").alias("__pos_l"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window - 1)
+        ).alias("__pos_r"),
+    )
+    right = pos.select(
+        F.col(id_col).alias("id_r"),
+        F.col(key_col).alias("key_r"),
+        F.col("pos").alias("__pos_r"),
+    )
+    return (
+        left.join(right, "__pos_r")
+        .select(
+            "id_l",
+            "key_l",
+            "id_r",
+            "key_r",
+            (F.col("__pos_r") - F.col("__pos_l")).alias("pos_dist"),
+        )
+    )

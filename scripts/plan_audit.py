@@ -53,6 +53,7 @@ AUDITED = [
     "corpus_decontaminate",
     "lm_cross_entropy",
     "rl_fs_match_weights",
+    "rl_sorted_neighborhood",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
