@@ -36,6 +36,7 @@ Operator coverage mapping (SURVEY §2):
 - unigram-LM cross-entropy signal:   lm_cross_entropy
 - Fellegi-Sunter EM linkage:         rl_fs_match_weights
 - sorted-neighborhood blocking:      rl_sorted_neighborhood
+- meta-blocking (CBS graph + WNP):   rl_meta_blocking
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -389,6 +390,58 @@ SELECT a.doc_id AS id_l, a.sn_key AS key_l,
        b.doc_id AS id_r, b.sn_key AS key_r,
        CAST(b.pos - a.pos AS BIGINT) AS pos_dist
 FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 3
+"""
+
+
+def rl_meta_blocking(spark, sf_dir):
+    """Meta-blocking (operators.meta_blocking): schema-agnostic token
+    blocking over a 100-doc slice (every 5th doc, full text, tokens of
+    length >= 4), block purging to sizes [2, 80], CBS-weighted blocking
+    graph, weighted-node pruning with OR semantics. CBS weights are
+    ints, so the per-node averages are exact integer sums divided by
+    counts — bit-identical in both engines, making the pruned edge set
+    value-exact. JS-weighted variants are pytest-covered instead (a
+    mean of many doubles is summation-order-dependent)."""
+    from idd_hw6_record_linkage_spark.operators import meta_blocking as MB
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    keys = MB.purge_blocks(
+        MB.token_blocking(docs, "doc_id", "text", min_token_len=4),
+        min_block_size=2,
+        max_block_size=80,
+    )
+    return MB.prune_wnp(MB.blocking_graph(keys, "cbs")).select(
+        "id_l", "id_r", F.col("weight").cast("long").alias("weight")
+    )
+
+
+SQL_RL_META_BLOCKING = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok AS block_key
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+  WHERE text IS NOT NULL AND doc_id % 5 = 0 AND length(t.tok) >= 4
+), sizes AS (
+  SELECT block_key, count(*) AS n FROM toks GROUP BY 1
+), keys AS (
+  SELECT toks.* FROM toks JOIN sizes USING (block_key)
+  WHERE n BETWEEN 2 AND 80
+), edges AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM keys a JOIN keys b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), node_avg AS (
+  SELECT node, avg(weight) AS avg_w FROM (
+    SELECT id_l AS node, weight FROM edges
+    UNION ALL SELECT id_r AS node, weight FROM edges
+  ) GROUP BY 1
+)
+SELECT e.id_l, e.id_r, e.weight
+FROM edges e
+JOIN node_avg nl ON nl.node = e.id_l
+JOIN node_avg nr ON nr.node = e.id_r
+WHERE e.weight >= least(nl.avg_w, nr.avg_w)
 """
 
 
@@ -2899,6 +2952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_cross_entropy": lm_cross_entropy,
     "rl_fs_match_weights": rl_fs_match_weights,
     "rl_sorted_neighborhood": rl_sorted_neighborhood,
+    "rl_meta_blocking": rl_meta_blocking,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3017,6 +3071,7 @@ ORACLES: dict[str, str] = {
     "lm_cross_entropy": SQL_LM_CROSS_ENTROPY,
     "rl_fs_match_weights": SQL_RL_FS_MATCH_WEIGHTS,
     "rl_sorted_neighborhood": SQL_RL_SORTED_NEIGHBORHOOD,
+    "rl_meta_blocking": SQL_RL_META_BLOCKING,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

@@ -54,6 +54,7 @@ AUDITED = [
     "lm_cross_entropy",
     "rl_fs_match_weights",
     "rl_sorted_neighborhood",
+    "rl_meta_blocking",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
