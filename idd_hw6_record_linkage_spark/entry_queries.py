@@ -37,6 +37,7 @@ Operator coverage mapping (SURVEY §2):
 - Fellegi-Sunter EM linkage:         rl_fs_match_weights
 - sorted-neighborhood blocking:      rl_sorted_neighborhood
 - meta-blocking (CBS graph + WNP):   rl_meta_blocking
+- 1:1 mutual-best-match resolution:  rl_one_to_one_matches
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -731,15 +732,13 @@ LEFT JOIN norms nr ON nr.doc_id = p.id_r
 """
 
 
-def rl_cross_source_matches(spark, sf_dir):
-    """Two-source linkage slice — the reference's primary lifecycle
-    (record_linkage.py:588-693, Craigslist × US Used Cars): documents
+def _cross_source_scored(spark, sf_dir):
+    """Shared scored-pair basis for the two-source queries: documents
     split into two disjoint sources (doc_id mod 3: 0 vs nonzero — the
     synthetic dup structure repeats every 20 ids, so a mod-2 split
     would put every dup pair on one side), blocked on the same key per
     side, CROSS-source candidate equi-join (no id-order constraint —
-    sides are disjoint), scored with the shared feature set,
-    thresholded at 0.5."""
+    sides are disjoint), scored with the shared feature set."""
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.substring("text", 1, 40).alias("t40"),
@@ -772,9 +771,31 @@ def rl_cross_source_matches(spark, sf_dir):
     ).cast("double")
     gauss = F.pow(F.lit(2.0), -F.pow((F.col("nc_l") - F.col("nc_r")) / 100.0, 2))
     score = F.round((lev + jac + gauss) / 3.0, 6)
-    return pairs.select(
-        "id_l", "id_r", score.alias("score")
-    ).where(F.col("score") >= 0.5)
+    return pairs.select("id_l", "id_r", score.alias("score"))
+
+
+def rl_cross_source_matches(spark, sf_dir):
+    """Two-source linkage slice — the reference's primary lifecycle
+    (record_linkage.py:588-693, Craigslist × US Used Cars): the shared
+    cross-source scored basis thresholded at 0.5."""
+    return _cross_source_scored(spark, sf_dir).where(F.col("score") >= 0.5)
+
+
+def rl_one_to_one_matches(spark, sf_dir):
+    """One-to-one linkage (operators.resolution.mutual_best_match) over
+    the same cross-source scored basis: a pair survives only if each
+    record is the other's top-scoring candidate (ties broken by smaller
+    partner id). The scored basis is value-exact in both engines
+    (rl_cross_source_matches' oracle proves the rounded scores), so the
+    rank-1 selections — and therefore the 1:1 match set — coincide."""
+    from idd_hw6_record_linkage_spark.operators.resolution import (
+        mutual_best_match,
+    )
+
+    scored = _cross_source_scored(spark, sf_dir).where(
+        F.col("score") >= 0.3
+    )
+    return mutual_best_match(scored, "id_l", "id_r", "score")
 
 
 SQL_RL_CROSS_SOURCE_MATCHES = f"""
@@ -806,6 +827,23 @@ WITH d AS (
 )
 SELECT id_l, id_r, score FROM s WHERE score >= 0.5
 """
+
+
+_SQL_CROSS_SOURCE_S_CTE = SQL_RL_CROSS_SOURCE_MATCHES.rsplit("SELECT", 1)[0]
+
+SQL_RL_ONE_TO_ONE_MATCHES = (
+    _SQL_CROSS_SOURCE_S_CTE
+    + """, f AS (
+  SELECT id_l, id_r, score,
+         row_number() OVER (PARTITION BY id_l
+                            ORDER BY score DESC, id_r ASC) AS rank_l,
+         row_number() OVER (PARTITION BY id_r
+                            ORDER BY score DESC, id_l ASC) AS rank_r
+  FROM s WHERE score >= 0.3
+)
+SELECT id_l, id_r, score FROM f WHERE rank_l = 1 AND rank_r = 1
+"""
+)
 
 
 # --- profiling ---------------------------------------------------------------
@@ -2953,6 +2991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_fs_match_weights": rl_fs_match_weights,
     "rl_sorted_neighborhood": rl_sorted_neighborhood,
     "rl_meta_blocking": rl_meta_blocking,
+    "rl_one_to_one_matches": rl_one_to_one_matches,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3072,6 +3111,7 @@ ORACLES: dict[str, str] = {
     "rl_fs_match_weights": SQL_RL_FS_MATCH_WEIGHTS,
     "rl_sorted_neighborhood": SQL_RL_SORTED_NEIGHBORHOOD,
     "rl_meta_blocking": SQL_RL_META_BLOCKING,
+    "rl_one_to_one_matches": SQL_RL_ONE_TO_ONE_MATCHES,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

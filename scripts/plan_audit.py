@@ -55,6 +55,7 @@ AUDITED = [
     "rl_fs_match_weights",
     "rl_sorted_neighborhood",
     "rl_meta_blocking",
+    "rl_one_to_one_matches",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
