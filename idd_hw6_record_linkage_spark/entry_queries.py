@@ -38,6 +38,7 @@ Operator coverage mapping (SURVEY §2):
 - sorted-neighborhood blocking:      rl_sorted_neighborhood
 - meta-blocking (CBS graph + WNP):   rl_meta_blocking
 - 1:1 mutual-best-match resolution:  rl_one_to_one_matches
+- survivorship / golden records:     rl_golden_records
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -624,6 +625,78 @@ WITH RECURSIVE base AS (
   SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r
 )
 SELECT id AS url, min(r) AS entity_id FROM reach GROUP BY id
+"""
+
+
+def rl_golden_records(spark, sf_dir):
+    """Survivorship (operators.survivorship.consolidate_clusters):
+    collapse each linkage cluster (rl_clusters basis) into one golden
+    record — canonical_id = min member id, text = longest (ties to
+    smallest), lang/source = mode (ties to smallest), n_chars = max.
+    Every rule is deterministic, so the golden table is value-exact
+    across engines."""
+    from idd_hw6_record_linkage_spark.operators.survivorship import (
+        consolidate_clusters,
+    )
+
+    clusters = rl_clusters(spark, sf_dir)  # (url, entity_id), string ids
+    members = clusters.join(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("doc_id").cast("string").alias("canonical_id"),
+            "text", "lang", "source", "n_chars",
+        ),
+        "url",
+    )
+    return consolidate_clusters(
+        members,
+        "entity_id",
+        {
+            "canonical_id": "min",
+            "text": "longest",
+            "lang": "mode",
+            "source": "mode",
+            "n_chars": "max",
+        },
+    )
+
+
+SQL_RL_GOLDEN_RECORDS = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+j AS (
+  SELECT cl.entity_id, cl.url AS member_id, d.text, d.lang, d.source,
+         d.n_chars
+  FROM cl JOIN documents d ON CAST(d.doc_id AS VARCHAR) = cl.url
+), plain AS (
+  SELECT entity_id, min(member_id) AS canonical_id,
+         max(n_chars) AS n_chars
+  FROM j GROUP BY entity_id
+), longest AS (
+  SELECT entity_id, text FROM (
+    SELECT entity_id, text,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY length(text) DESC, text ASC) AS rn
+    FROM j WHERE text IS NOT NULL) WHERE rn = 1
+), mode_lang AS (
+  SELECT entity_id, lang FROM (
+    SELECT entity_id, lang,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY cnt DESC, lang ASC) AS rn
+    FROM (SELECT entity_id, lang, count(*) AS cnt FROM j
+          WHERE lang IS NOT NULL GROUP BY 1, 2)) WHERE rn = 1
+), mode_source AS (
+  SELECT entity_id, source FROM (
+    SELECT entity_id, source,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY cnt DESC, source ASC) AS rn
+    FROM (SELECT entity_id, source, count(*) AS cnt FROM j
+          WHERE source IS NOT NULL GROUP BY 1, 2)) WHERE rn = 1
+)
+SELECT p.entity_id, p.canonical_id, l.text, ml.lang, ms.source, p.n_chars
+FROM plain p
+LEFT JOIN longest l ON l.entity_id = p.entity_id
+LEFT JOIN mode_lang ml ON ml.entity_id = p.entity_id
+LEFT JOIN mode_source ms ON ms.entity_id = p.entity_id
 """
 
 
@@ -2992,6 +3065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_sorted_neighborhood": rl_sorted_neighborhood,
     "rl_meta_blocking": rl_meta_blocking,
     "rl_one_to_one_matches": rl_one_to_one_matches,
+    "rl_golden_records": rl_golden_records,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3112,6 +3186,7 @@ ORACLES: dict[str, str] = {
     "rl_sorted_neighborhood": SQL_RL_SORTED_NEIGHBORHOOD,
     "rl_meta_blocking": SQL_RL_META_BLOCKING,
     "rl_one_to_one_matches": SQL_RL_ONE_TO_ONE_MATCHES,
+    "rl_golden_records": SQL_RL_GOLDEN_RECORDS,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

@@ -56,6 +56,7 @@ AUDITED = [
     "rl_sorted_neighborhood",
     "rl_meta_blocking",
     "rl_one_to_one_matches",
+    "rl_golden_records",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
