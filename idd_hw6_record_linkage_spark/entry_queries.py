@@ -39,6 +39,7 @@ Operator coverage mapping (SURVEY §2):
 - meta-blocking (CBS graph + WNP):   rl_meta_blocking
 - 1:1 mutual-best-match resolution:  rl_one_to_one_matches
 - survivorship / golden records:     rl_golden_records
+- blocking-scheme RR/PC bake-off:    rl_blocking_scheme_eval
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -625,6 +626,117 @@ WITH RECURSIVE base AS (
   SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r
 )
 SELECT id AS url, min(r) AS entity_id FROM reach GROUP BY id
+"""
+
+
+def rl_blocking_scheme_eval(spark, sf_dir):
+    """Blocking-scheme bake-off (operators.blocking_eval): three
+    schemes — B2-key equality blocking, sorted-neighborhood (w=4 on
+    the trimmed 24-char text prefix), and purged token blocking
+    ([2,400] block sizes) — each scored on reduction ratio and pairs
+    completeness against the same synthetic truth rl_eval_metrics
+    uses. One row per scheme; pair orientation canonicalized to
+    (least, greatest) so every scheme compares against truth in the
+    same key space."""
+    from idd_hw6_record_linkage_spark.operators import (
+        blocking_eval,
+        meta_blocking as MB,
+        sorted_neighborhood as SN,
+    )
+
+    docs = _docs(spark, sf_dir)
+    total = docs.count()
+    d = docs.select("doc_id", "source", "n_chars")
+    l = d.withColumnsRenamed(  # noqa: E741
+        {"doc_id": "id_l", "source": "s_l", "n_chars": "n_l"}
+    )
+    r = d.withColumnsRenamed({"doc_id": "id_r", "source": "s_r", "n_chars": "n_r"})
+    truth = (
+        l.join(r, (F.col("s_l") == F.col("s_r")) & (F.col("id_l") < F.col("id_r")))
+        .where(F.abs(F.col("n_l") - F.col("n_r")) <= 10)
+        .select("id_l", "id_r")
+    )
+    b2 = rl_candidate_pairs(spark, sf_dir).select("id_l", "id_r")
+    sn = SN.sorted_neighborhood_pairs(
+        docs.select(
+            "doc_id", F.substring(F.trim("text"), 1, 24).alias("sn_key")
+        ),
+        "doc_id",
+        "sn_key",
+        window=4,
+    ).select(
+        F.least("id_l", "id_r").alias("id_l"),
+        F.greatest("id_l", "id_r").alias("id_r"),
+    )
+    tok = MB.blocking_graph(
+        MB.purge_blocks(
+            MB.token_blocking(docs, "doc_id", "text", min_token_len=4),
+            min_block_size=2,
+            max_block_size=400,
+        ),
+        "cbs",
+    ).select("id_l", "id_r")
+    return blocking_eval.scheme_metrics(
+        {
+            "b2_equality": b2,
+            "sorted_neighborhood_w4": sn,
+            "token_purged": tok,
+        },
+        truth,
+        total,
+    )
+
+
+SQL_RL_BLOCKING_SCHEME_EVAL = f"""
+WITH truth AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE abs(a.n_chars - b.n_chars) <= 10
+), b2 AS (
+  SELECT DISTINCT id_l, id_r FROM ({SQL_RL_CANDIDATE_PAIRS})
+), snp AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY substr(trim(text), 1, 24), doc_id) - 1 AS pos
+  FROM documents WHERE text IS NOT NULL
+), sn AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_l,
+         greatest(a.doc_id, b.doc_id) AS id_r
+  FROM snp a JOIN snp b ON b.pos - a.pos BETWEEN 1 AND 3
+), tb_toks AS (
+  SELECT DISTINCT doc_id, t.tok AS block_key
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+  WHERE text IS NOT NULL AND length(t.tok) >= 4
+), tb_keys AS (
+  SELECT tb_toks.* FROM tb_toks
+  JOIN (SELECT block_key, count(*) AS n FROM tb_toks GROUP BY 1) s
+    USING (block_key)
+  WHERE s.n BETWEEN 2 AND 400
+), tok AS (
+  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM tb_keys a JOIN tb_keys b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+), tot AS (SELECT count(*) AS n FROM documents),
+tn AS (SELECT count(*) AS nt FROM truth)
+SELECT s.scheme, s.n_pairs,
+  round(1.0 - s.n_pairs / ((SELECT n FROM tot) * ((SELECT n FROM tot) - 1)
+        / 2.0), 6) AS reduction_ratio,
+  round(CASE WHEN (SELECT nt FROM tn) > 0
+        THEN s.n_cov / CAST((SELECT nt FROM tn) AS DOUBLE)
+        ELSE 0.0 END, 6) AS pairs_completeness
+FROM (
+  SELECT 'b2_equality' AS scheme,
+    CAST((SELECT count(*) FROM b2) AS BIGINT) AS n_pairs,
+    (SELECT count(*) FROM b2 JOIN truth USING (id_l, id_r)) AS n_cov
+  UNION ALL
+  SELECT 'sorted_neighborhood_w4',
+    CAST((SELECT count(*) FROM sn) AS BIGINT),
+    (SELECT count(*) FROM sn JOIN truth USING (id_l, id_r))
+  UNION ALL
+  SELECT 'token_purged',
+    CAST((SELECT count(*) FROM tok) AS BIGINT),
+    (SELECT count(*) FROM tok JOIN truth USING (id_l, id_r))
+) s
 """
 
 
@@ -3066,6 +3178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_meta_blocking": rl_meta_blocking,
     "rl_one_to_one_matches": rl_one_to_one_matches,
     "rl_golden_records": rl_golden_records,
+    "rl_blocking_scheme_eval": rl_blocking_scheme_eval,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3187,6 +3300,7 @@ ORACLES: dict[str, str] = {
     "rl_meta_blocking": SQL_RL_META_BLOCKING,
     "rl_one_to_one_matches": SQL_RL_ONE_TO_ONE_MATCHES,
     "rl_golden_records": SQL_RL_GOLDEN_RECORDS,
+    "rl_blocking_scheme_eval": SQL_RL_BLOCKING_SCHEME_EVAL,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
