@@ -40,6 +40,7 @@ Operator coverage mapping (SURVEY §2):
 - 1:1 mutual-best-match resolution:  rl_one_to_one_matches
 - survivorship / golden records:     rl_golden_records
 - blocking-scheme RR/PC bake-off:    rl_blocking_scheme_eval
+- FS TF-adjusted weights + bands:    rl_fs_tf_bands
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -626,6 +627,113 @@ WITH RECURSIVE base AS (
   SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r
 )
 SELECT id AS url, min(r) AS entity_id FROM reach GROUP BY id
+"""
+
+
+def rl_fs_tf_bands(spark, sf_dir):
+    """Splink-style term-frequency-adjusted FS weights + the 1969
+    three-way decision rule (operators.fellegi_sunter.tf_adjusted_weight
+    / classify_bands). Parameters are FIXED documented scalars (the EM
+    lifecycle is rl_fs_match_weights' contract), so the oracle is pure
+    closed-form arithmetic: prior log-odds + per-field agreement
+    evidence, with g_lang's generic log2(m/u) traded for the
+    value-specific log2(m/tf_v) when the pair agrees on a language —
+    sharing a rare language is stronger evidence than sharing the
+    corpus-dominant one. Bands classify the ROUNDED weight so the
+    match/possible/non_match cut sits on engine-identical values."""
+    from idd_hw6_record_linkage_spark.operators import fellegi_sunter as FS
+
+    params = FS.FSParams(
+        lam=0.2,
+        m={"g_lev": 0.9, "g_jac": 0.85, "g_nc": 0.8, "g_lang": 0.95},
+        u={"g_lev": 0.1, "g_jac": 0.15, "g_nc": 0.2, "g_lang": 0.5},
+        n_iter=0,
+        avg_log_likelihood=0.0,
+    )
+    feats = ["g_lev", "g_jac", "g_nc", "g_lang"]
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    gam = (
+        rl_pair_features(spark, sf_dir)
+        .select(
+            "id_l",
+            "id_r",
+            (F.col("lev_sim") >= 0.9).cast("int").alias("g_lev"),
+            (F.col("jaccard_sim") >= 0.8).cast("int").alias("g_jac"),
+            (F.col("nchars_sim") >= 0.9).cast("int").alias("g_nc"),
+        )
+        .join(
+            langs.withColumnsRenamed({"doc_id": "id_l", "lang": "lang_l"}),
+            "id_l",
+        )
+        .join(
+            langs.withColumnsRenamed({"doc_id": "id_r", "lang": "lang_r"}),
+            "id_r",
+        )
+        .withColumn(
+            "g_lang",
+            F.when(
+                F.col("lang_l").isNull() | F.col("lang_r").isNull(),
+                F.lit(None).cast("int"),
+            ).otherwise((F.col("lang_l") == F.col("lang_r")).cast("int")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("g_lang") == 1, F.col("lang_l")),
+        )
+        .drop("lang_l", "lang_r")
+    )
+    tf = FS.term_frequencies(_docs(spark, sf_dir), "lang")
+    out = FS.tf_adjusted_weight(
+        gam, params, feats, "g_lang", "lang", tf
+    ).withColumn("match_weight", F.round("match_weight", 6))
+    return FS.classify_bands(
+        out, "match_weight", upper=4.0, lower=0.0
+    ).select("id_l", "id_r", *feats, "match_weight", "band")
+
+
+SQL_RL_FS_TF_BANDS = f"""
+WITH pf AS ({SQL_RL_PAIR_FEATURES}
+), langs AS (
+  SELECT doc_id, lang FROM documents
+), tf AS (
+  SELECT lang, count(*) / CAST(
+    (SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS DOUBLE
+  ) AS tf
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), gam AS (
+  SELECT pf.id_l, pf.id_r,
+         CAST(lev_sim >= 0.9 AS INT) AS g_lev,
+         CAST(jaccard_sim >= 0.8 AS INT) AS g_jac,
+         CAST(nchars_sim >= 0.9 AS INT) AS g_nc,
+         CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN NULL
+              ELSE CAST(a.lang = b.lang AS INT) END AS g_lang,
+         CASE WHEN a.lang = b.lang THEN a.lang END AS lang
+  FROM pf
+  JOIN langs a ON a.doc_id = pf.id_l
+  JOIN langs b ON b.doc_id = pf.id_r
+), w AS (
+  SELECT g.id_l, g.id_r, g.g_lev, g.g_jac, g.g_nc, g.g_lang,
+    CAST(round(
+      ln(0.2 / 0.8) / ln(2)
+      + g_lev * ln(0.9 / 0.1) / ln(2)
+      + (1 - g_lev) * ln(0.1 / 0.9) / ln(2)
+      + g_jac * ln(0.85 / 0.15) / ln(2)
+      + (1 - g_jac) * ln(0.15 / 0.85) / ln(2)
+      + g_nc * ln(0.8 / 0.2) / ln(2)
+      + (1 - g_nc) * ln(0.2 / 0.8) / ln(2)
+      + CASE WHEN g_lang IS NULL THEN 0.0
+             ELSE g_lang * ln(0.95 / 0.5) / ln(2)
+                  + (1 - g_lang) * ln(0.05 / 0.5) / ln(2) END
+      + CASE WHEN g_lang = 1 AND t.tf IS NOT NULL
+             THEN (ln(0.5) - ln(t.tf)) / ln(2) ELSE 0.0 END
+    , 6) AS DOUBLE) AS match_weight
+  FROM gam g LEFT JOIN tf t ON t.lang = g.lang
+)
+SELECT id_l, id_r, g_lev, g_jac, g_nc, g_lang, match_weight,
+       CASE WHEN match_weight >= 4.0 THEN 'match'
+            WHEN match_weight <= 0.0 THEN 'non_match'
+            ELSE 'possible' END AS band
+FROM w
 """
 
 
@@ -3179,6 +3287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_one_to_one_matches": rl_one_to_one_matches,
     "rl_golden_records": rl_golden_records,
     "rl_blocking_scheme_eval": rl_blocking_scheme_eval,
+    "rl_fs_tf_bands": rl_fs_tf_bands,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3301,6 +3410,7 @@ ORACLES: dict[str, str] = {
     "rl_one_to_one_matches": SQL_RL_ONE_TO_ONE_MATCHES,
     "rl_golden_records": SQL_RL_GOLDEN_RECORDS,
     "rl_blocking_scheme_eval": SQL_RL_BLOCKING_SCHEME_EVAL,
+    "rl_fs_tf_bands": SQL_RL_FS_TF_BANDS,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

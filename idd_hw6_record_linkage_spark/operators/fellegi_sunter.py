@@ -28,7 +28,15 @@ from typing import NamedTuple, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FSParams", "em_fit", "match_weight", "match_posterior"]
+__all__ = [
+    "FSParams",
+    "em_fit",
+    "match_weight",
+    "match_posterior",
+    "term_frequencies",
+    "tf_adjusted_weight",
+    "classify_bands",
+]
 
 
 class FSParams(NamedTuple):
@@ -177,3 +185,94 @@ def match_posterior(
         feature_cols, params.lam, params.m, params.u
     )
     return pairs.withColumn(out_col, p_expr)
+
+
+def term_frequencies(
+    df: DataFrame, value_col: str, out_col: str = "tf"
+) -> DataFrame:
+    """(value_col, out_col): relative frequency of each non-null value
+    of ``value_col`` — one groupBy plus a one-row total crossed back in
+    (scalar broadcast). The TF table has one row per distinct value; at
+    web scale that can itself be large, which is why consumers join it
+    by shuffle on the value (see :func:`tf_adjusted_weight`)."""
+    nn = df.where(F.col(value_col).isNotNull()).select(value_col)
+    counts = nn.groupBy(value_col).agg(F.count("*").alias("__c"))
+    total = nn.agg(F.count("*").alias("__t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        value_col,
+        (F.col("__c") / F.col("__t").cast("double")).alias(out_col),
+    )
+
+
+def tf_adjusted_weight(
+    pairs: DataFrame,
+    params: FSParams,
+    feature_cols: Sequence[str],
+    tf_field: str,
+    value_col: str,
+    tf: DataFrame,
+    tf_floor: float | None = None,
+    out_col: str = "match_weight",
+) -> DataFrame:
+    """FS match weight with a Splink-style term-frequency adjustment on
+    ``tf_field`` (one of ``feature_cols``): a pair that AGREES on value
+    v trades the field's generic agreement evidence log2(m/u) for the
+    value-specific log2(m / tf_v) — sharing a RARE value is much
+    stronger evidence than sharing a ubiquitous one, which the global
+    u-probability cannot express. Implemented as the base weight plus
+    γ · log2(u / max(tf_v, tf_floor)); disagreeing or NULL-γ pairs and
+    values missing from ``tf`` are unadjusted.
+
+    ``pairs`` must carry the agreed value in ``value_col`` (same name
+    as ``tf``'s value column); ``tf`` comes from
+    :func:`term_frequencies` over the CORPUS (not over pairs — pair
+    frequency is quadratically skewed toward big blocks). The tf table
+    is joined by shuffle on the value: its cardinality is the field's
+    value universe, corpus-scale in general, so it is deliberately NOT
+    broadcast. ``tf_floor`` bounds the boost a near-unique value can
+    contribute (Splink's adjustment cap)."""
+    if tf_field not in feature_cols:
+        raise ValueError(
+            f"tf_field {tf_field!r} must be one of feature_cols"
+        )
+    tf_col = [c for c in tf.columns if c != value_col]
+    if len(tf_col) != 1:
+        raise ValueError(
+            f"tf must have exactly (value, tf) columns, got {tf.columns}"
+        )
+    base = match_weight(pairs, params, feature_cols, out_col)
+    joined = base.join(tf, value_col, "left")
+    tf_v = F.col(tf_col[0])
+    if tf_floor is not None:
+        tf_v = F.greatest(tf_v, F.lit(float(tf_floor)))
+    u_f = params.u[tf_field]
+    g = F.col(tf_field).cast("double")
+    adj = F.when(
+        g.isNotNull() & (g == 1.0) & tf_v.isNotNull(),
+        (F.lit(math.log(u_f)) - F.log(tf_v)) / math.log(2.0),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn(out_col, F.col(out_col) + adj).drop(
+        tf_col[0]
+    )
+
+
+def classify_bands(
+    scored: DataFrame,
+    weight_col: str,
+    upper: float,
+    lower: float,
+    out_col: str = "band",
+) -> DataFrame:
+    """The Fellegi-Sunter three-way decision rule: weight >= upper →
+    'match', weight <= lower → 'non_match', between → 'possible'
+    (clerical review). NULL weights classify as 'possible' — an
+    unscorable pair is exactly what review queues exist for."""
+    if lower > upper:
+        raise ValueError(f"lower {lower} > upper {upper}")
+    w = F.col(weight_col)
+    return scored.withColumn(
+        out_col,
+        F.when(w >= upper, F.lit("match"))
+        .when(w <= lower, F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )

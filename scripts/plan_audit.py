@@ -58,6 +58,7 @@ AUDITED = [
     "rl_one_to_one_matches",
     "rl_golden_records",
     "rl_blocking_scheme_eval",
+    "rl_fs_tf_bands",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
@@ -92,8 +93,14 @@ import re
 # query set against the corpus — its cartesian joins are its plan.
 # rl_blocking_scheme_eval's "cartesians" are crossJoins of ONE-ROW
 # aggregates (n_pairs × n_covered × n_truth per scheme) — scalar
-# combination, not a pair blowup.
-CARTESIAN_OK = {"ann_topk_brute", "rl_blocking_scheme_eval"}
+# combination, not a pair blowup. rl_fs_tf_bands has one: the
+# term-frequency denominator (a one-row count) crossed into the
+# per-value counts.
+CARTESIAN_OK = {
+    "ann_topk_brute",
+    "rl_blocking_scheme_eval",
+    "rl_fs_tf_bands",
+}
 
 
 def audit(name: str, df) -> dict:

@@ -106,3 +106,88 @@ def test_validation(spark):
         FS.em_fit(df, ["g"], lam0=1.0)
     with pytest.raises(ValueError, match="nothing to fit"):
         FS.em_fit(df.where("id < 0"), ["g"])
+
+
+def test_term_frequencies(spark):
+    df = spark.createDataFrame(
+        [("en",), ("en",), ("en",), ("de",), (None,)], "lang string"
+    )
+    tf = {
+        r["lang"]: r["tf"]
+        for r in FS.term_frequencies(df, "lang").collect()
+    }
+    assert tf == {"en": pytest.approx(0.75), "de": pytest.approx(0.25)}
+
+
+def test_tf_adjusted_weight_closed_form(spark):
+    params = FS.FSParams(
+        lam=0.2,
+        m={"g_a": 0.9, "g_lang": 0.95},
+        u={"g_a": 0.1, "g_lang": 0.5},
+        n_iter=0,
+        avg_log_likelihood=0.0,
+    )
+    feats = ["g_a", "g_lang"]
+    # pair 1 agrees on a COMMON value, pair 2 on a RARE one, pair 3
+    # disagrees, pair 4 agrees on a value missing from the tf table.
+    pairs = spark.createDataFrame(
+        [
+            (1, 1, 1, "en"),
+            (2, 1, 1, "xx"),
+            (3, 1, 0, None),
+            (4, 1, 1, "zz"),
+        ],
+        "pid int, g_a int, g_lang int, lang string",
+    )
+    tf = spark.createDataFrame(
+        [("en", 0.8), ("xx", 0.001)], "lang string, tf double"
+    )
+    out = {
+        r["pid"]: r["match_weight"]
+        for r in FS.tf_adjusted_weight(
+            pairs, params, feats, "g_lang", "lang", tf
+        ).collect()
+    }
+    base = {
+        r["pid"]: r["match_weight"]
+        for r in FS.match_weight(pairs, params, feats).collect()
+    }
+
+    def adj(tf_v):
+        return math.log2(0.5 / tf_v)
+
+    assert out[1] == pytest.approx(base[1] + adj(0.8))
+    assert out[2] == pytest.approx(base[2] + adj(0.001))
+    assert out[3] == pytest.approx(base[3])  # disagreement: unadjusted
+    assert out[4] == pytest.approx(base[4])  # unknown value: unadjusted
+    # rare agreement must outweigh common agreement
+    assert out[2] > out[1]
+    # common-value agreement is weaker than the generic u suggests
+    assert out[1] < base[1]
+
+    # floor caps the rare-value boost
+    floored = {
+        r["pid"]: r["match_weight"]
+        for r in FS.tf_adjusted_weight(
+            pairs, params, feats, "g_lang", "lang", tf, tf_floor=0.01
+        ).collect()
+    }
+    assert floored[2] == pytest.approx(base[2] + adj(0.01))
+
+    with pytest.raises(ValueError, match="feature_cols"):
+        FS.tf_adjusted_weight(pairs, params, feats, "g_zip", "lang", tf)
+
+
+def test_classify_bands(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -5.0), (4, None)], "pid int, w double"
+    )
+    bands = {
+        r["pid"]: r["band"]
+        for r in FS.classify_bands(df, "w", upper=3.0, lower=-3.0).collect()
+    }
+    assert bands == {
+        1: "match", 2: "possible", 3: "non_match", 4: "possible"
+    }
+    with pytest.raises(ValueError, match="lower"):
+        FS.classify_bands(df, "w", upper=-1.0, lower=1.0)
