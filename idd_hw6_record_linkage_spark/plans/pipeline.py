@@ -84,6 +84,12 @@ class PipelineConfig:
     # (default) = off: the reference has no such stage and its
     # byte-identical clean_text invariant is defined over raw text.
     strip_boilerplate_min_docs: int | None = None
+    # Survivorship: per-column merge rules (operators/survivorship.py)
+    # applied AFTER clustering to emit one golden record per entity
+    # under result["golden"]. Keys are normalized-record columns (url,
+    # warc_ts, lang, domain, title_norm, text_clean, n_chars, ...).
+    # None (default) = off: the reference stops at cluster assignments.
+    golden_rules: dict | None = None
 
 
 def _maybe_collapse(pages: DataFrame, cfg: "PipelineConfig") -> DataFrame:
@@ -129,6 +135,23 @@ def _maybe_strip_boilerplate(
 
 def _pre_stages(pages: DataFrame, cfg: "PipelineConfig") -> DataFrame:
     return _maybe_strip_boilerplate(_maybe_collapse(pages, cfg), cfg)
+
+
+def _maybe_golden(
+    records: DataFrame, clusters: DataFrame, cfg: "PipelineConfig"
+) -> DataFrame | None:
+    """Survivorship stage: one golden record per entity, or None when
+    cfg.golden_rules is unset. Joins the cluster assignment back to the
+    normalized records on url (hash join on the record id — both sides
+    corpus-sized, neither broadcast)."""
+    if not cfg.golden_rules:
+        return None
+    from idd_hw6_record_linkage_spark.operators.survivorship import (
+        consolidate_clusters,
+    )
+
+    members = clusters.join(records, "url")
+    return consolidate_clusters(members, "entity_id", cfg.golden_rules)
 
 
 def normalize_plan(pages: DataFrame) -> DataFrame:
@@ -292,7 +315,7 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
     # once the caller is done — long-lived sessions running many
     # pipelines should call it to avoid cache accumulation.
     handles = [records, raw_keys, keys, pairs, scored]
-    return {
+    result = {
         "records": records,
         "pairs": pairs,
         "scored": scored,
@@ -300,6 +323,10 @@ def run_in_memory(spark: SparkSession, pages: DataFrame,
         "clusters": clusters,
         "release": lambda: [h.unpersist() for h in handles],
     }
+    golden = _maybe_golden(records, clusters, cfg)
+    if golden is not None:
+        result["golden"] = golden
+    return result
 
 
 def link_sources(
@@ -486,6 +513,9 @@ class LinkagePipeline:
             "edges": edges,
             "clusters": clusters,
         }
+        golden = _maybe_golden(records, clusters, self.cfg)
+        if golden is not None:
+            result["golden"] = golden
         if labeled_pairs is not None:
             truth_pos = labeled_pairs.where(F.col("label") == 1).select(
                 F.col("url_l").alias("id_l"), F.col("url_r").alias("id_r")

@@ -98,3 +98,54 @@ def test_mode_only_rules(spark):
         for r in consolidate_clusters(df, "cluster", {"v": "mode"}).collect()
     }
     assert out == {"c": "a", "d": None}
+
+
+def test_pipeline_golden_stage(spark):
+    """run_in_memory with golden_rules emits one golden record per
+    entity, with the canonical url being each cluster's min member."""
+    from idd_hw6_record_linkage_spark.plans.pipeline import (
+        PipelineConfig,
+        run_in_memory,
+    )
+    from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+
+    pages = generate_raw(spark, 60).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    cfg = PipelineConfig(
+        workdir="/tmp/_unused_golden",
+        golden_rules={
+            "url": "min",
+            "lang": "mode",
+            "text_clean": "longest",
+            "n_chars": "max",
+        },
+    )
+    res = run_in_memory(spark, pages, cfg)
+    try:
+        golden = res["golden"]
+        assert golden.columns == [
+            "entity_id", "url", "lang", "text_clean", "n_chars",
+        ]
+        n_entities = res["clusters"].select("entity_id").distinct().count()
+        assert golden.count() == n_entities
+        # canonical url: entity_id IS the min member url by
+        # construction (clusters_from_edges labels components by min),
+        # so rule "min" on url must reproduce it.
+        assert golden.where("url <> entity_id").count() == 0
+    finally:
+        res["release"]()
+
+
+def test_pipeline_without_golden_rules_has_no_golden_key(spark):
+    from idd_hw6_record_linkage_spark.plans.pipeline import run_in_memory
+    from idd_hw6_record_linkage_spark.sources.generator import generate_raw
+
+    pages = generate_raw(spark, 20).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    res = run_in_memory(spark, pages)
+    try:
+        assert "golden" not in res
+    finally:
+        res["release"]()
