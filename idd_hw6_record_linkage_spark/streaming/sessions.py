@@ -73,7 +73,14 @@ def domain_sessions_stateful(
     ``session_end`` is the LAST PAGE's timestamp (not +gap — custom
     semantics session_window cannot produce) and ``capped`` flags a
     session that exceeded ``max_pages`` (crawler trap / burst).
-    Sessions close on an in-stream gap or on event-time timeout."""
+    Sessions close on an in-stream gap or on event-time timeout.
+
+    Out-of-order arrivals (within the watermark) are exact as long as
+    the affected session is still open: early events extend it
+    downward or surface as their own older session. Events older than
+    a session already emitted by timeout reappear as separate late
+    sessions — the analogue of native session_window's late-row drop,
+    but lossless."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdf_iter, state):
@@ -107,13 +114,48 @@ def domain_sessions_stateful(
         if state.exists:
             start, last, n, capped = state.get
         else:
-            # n starts at 0 — the loop below counts every timestamp
+            # n starts at 0 — the main loop below counts every event
             start, last, n, capped = ts[0], ts[0], 0, False
         closed = []
-        for t in ts:
+        # Cross-trigger reorder guard: an event can arrive EARLIER than
+        # the open session's start (file-source delivery order is not
+        # event-time order — two files with tied mtimes can swap).
+        # Those events sessionize separately FIRST (they sort to the
+        # front); the trailing old session then merges into the open
+        # one if it reaches within gap of its start, else it closes.
+        # Naively feeding them through the main loop would absorb them
+        # forward (last = max(last, t)), silently gluing two sessions
+        # into one stamped with the later times — the exact bug a
+        # loaded test host exposed.
+        i = 0
+        old = None  # [start, last, n, capped] of the pre-start block
+        while i < len(ts) and ts[i] < start - gap_seconds:
+            t = ts[i]
+            if old is None:
+                old = [t, t, 1, False]
+            elif t - old[1] > gap_seconds:
+                closed.append(row(*old))
+                old = [t, t, 1, False]
+            else:
+                old[1] = t
+                old[2] += 1
+            if old[2] > max_pages:
+                old[3] = True
+            i += 1
+        if old is not None:
+            if start - old[1] <= gap_seconds:
+                start = old[0]
+                n += old[2]
+                capped = capped or old[3] or n > max_pages
+            else:
+                closed.append(row(*old))
+        for t in ts[i:]:
             if t - last > gap_seconds:
                 closed.append(row(start, last, n, capped))
-                start, n, capped = t, 0, False
+                start, last, n, capped = t, t, 0, False
+            # t may still precede start (within-gap early arrival):
+            # extend the session downward, never absorb forward.
+            start = min(start, t)
             last = max(last, t)
             n += 1
             if n > max_pages:

@@ -147,3 +147,82 @@ def test_stateful_sessions_split_on_gap_within_stream(spark, tmp_path):
     assert a_rows[0]["session_end"] == T(2024, 1, 1, 10, 0)
     assert a_rows[1]["session_start"] == T(2024, 1, 1, 12, 0)
     assert all(r["n_pages"] == 1 for r in a_rows)
+
+
+def test_stateful_sessions_reverse_arrival_order(spark, tmp_path):
+    """Regression: the 12:00 page delivered in a trigger BEFORE the
+    10:00 page (file mtime ties under load can swap delivery order —
+    the exact condition that once glued both pages into one session
+    stamped (12:00, 12:00, n=2)). The pre-start guard must surface the
+    10:00 page as its own older session instead of absorbing it."""
+    src = str(tmp_path / "src")
+    batches = [
+        # coalesce(1): exactly ONE file per append, so file order ==
+        # append order and the reversal is deterministic, not luck.
+        [_page("a.com", T(2024, 1, 1, 12, 0), "p2")],
+        [_page("a.com", T(2024, 1, 1, 10, 0), "p1")],  # late, reversed
+        [_page("z.com", T(2024, 1, 1, 15, 0), "s1")],
+        [_page("z.com", T(2024, 1, 1, 15, 1), "s2")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, _PAGES_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = ingest.read_pages_stream(spark, src, max_files_per_trigger=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(
+        sessions.domain_sessions_stateful(
+            stream, gap_seconds=1800, max_pages=100, watermark="1 hour"
+        ),
+        out,
+        ckpt,
+    )
+    a_rows = sorted(
+        (
+            r
+            for r in spark.read.parquet(out).collect()
+            if r["domain"] == "a.com"
+        ),
+        key=lambda r: r["session_start"],
+    )
+    assert [(r["session_start"], r["session_end"], r["n_pages"])
+            for r in a_rows] == [
+        (T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 0), 1),
+        (T(2024, 1, 1, 12, 0), T(2024, 1, 1, 12, 0), 1),
+    ]
+
+
+def test_stateful_sessions_early_arrival_extends_open_session(spark, tmp_path):
+    """An out-of-order event within gap BEFORE the open session's start
+    extends it downward (start moves earlier) rather than forward."""
+    src = str(tmp_path / "src")
+    batches = [
+        [_page("a.com", T(2024, 1, 1, 10, 20), "p2")],
+        [_page("a.com", T(2024, 1, 1, 10, 0), "p1")],  # within gap, early
+        [_page("z.com", T(2024, 1, 1, 13, 0), "s1")],
+        [_page("z.com", T(2024, 1, 1, 13, 1), "s2")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, _PAGES_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = ingest.read_pages_stream(spark, src, max_files_per_trigger=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(
+        sessions.domain_sessions_stateful(
+            stream, gap_seconds=1800, max_pages=100, watermark="1 hour"
+        ),
+        out,
+        ckpt,
+    )
+    a_rows = [
+        r
+        for r in spark.read.parquet(out).collect()
+        if r["domain"] == "a.com"
+    ]
+    assert [(r["session_start"], r["session_end"], r["n_pages"])
+            for r in a_rows] == [
+        (T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 20), 2),
+    ]
