@@ -41,6 +41,7 @@ Operator coverage mapping (SURVEY §2):
 - survivorship / golden records:     rl_golden_records
 - blocking-scheme RR/PC bake-off:    rl_blocking_scheme_eval
 - FS TF-adjusted weights + bands:    rl_fs_tf_bands
+- cluster density/bridge audit:      rl_cluster_audit
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -917,6 +918,61 @@ FROM plain p
 LEFT JOIN longest l ON l.entity_id = p.entity_id
 LEFT JOIN mode_lang ml ON ml.entity_id = p.entity_id
 LEFT JOIN mode_source ms ON ms.entity_id = p.entity_id
+"""
+
+
+def rl_cluster_audit(spark, sf_dir):
+    """Cluster-quality audit (operators.cluster_audit.cluster_quality)
+    over the linkage result: per multi-member cluster, edge density
+    (n_edges / C(n,2)) and minimum member degree, with a suspect flag
+    for sparse clusters or large clusters hanging on a degree-1 bridge
+    — the over-merge review queue transitive closure needs. Density is
+    an exact integer ratio (one division), so the audit is value-exact
+    across engines."""
+    from idd_hw6_record_linkage_spark.operators.cluster_audit import (
+        cluster_quality,
+    )
+
+    clusters = rl_clusters(spark, sf_dir)
+    edges = rl_match_edges(spark, sf_dir).select(
+        F.col("id_l").cast("string").alias("id_l"),
+        F.col("id_r").cast("string").alias("id_r"),
+    )
+    return cluster_quality(clusters, edges, min_density=0.9)
+
+
+SQL_RL_CLUSTER_AUDIT = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+e0 AS (
+  SELECT DISTINCT CAST(id_l AS VARCHAR) AS id_l,
+         CAST(id_r AS VARCHAR) AS id_r
+  FROM ({SQL_RL_MATCH_EDGES})
+), mem AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM cl GROUP BY 1
+), ec AS (
+  SELECT cl.entity_id, CAST(count(*) AS BIGINT) AS n_edges
+  FROM e0 JOIN cl ON cl.url = e0.id_l GROUP BY 1
+), deg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT id_l AS id FROM e0 UNION ALL SELECT id_r FROM e0
+  ) GROUP BY 1
+), md AS (
+  SELECT cl.entity_id, CAST(min(deg.d) AS BIGINT) AS min_degree
+  FROM cl JOIN deg ON deg.id = cl.url GROUP BY 1
+), base AS (
+  SELECT m.entity_id, m.n_members,
+         CAST(coalesce(ec.n_edges, 0) AS BIGINT) AS n_edges,
+         round(coalesce(ec.n_edges, 0)
+               / (m.n_members * (m.n_members - 1) / 2.0), 6) AS density,
+         CAST(coalesce(md.min_degree, 0) AS BIGINT) AS min_degree
+  FROM mem m
+  LEFT JOIN ec ON ec.entity_id = m.entity_id
+  LEFT JOIN md ON md.entity_id = m.entity_id
+  WHERE m.n_members >= 2
+)
+SELECT *, (density < 0.9 OR (min_degree <= 1 AND n_members > 2)) AS suspect
+FROM base
 """
 
 
@@ -3288,6 +3344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_golden_records": rl_golden_records,
     "rl_blocking_scheme_eval": rl_blocking_scheme_eval,
     "rl_fs_tf_bands": rl_fs_tf_bands,
+    "rl_cluster_audit": rl_cluster_audit,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3411,6 +3468,7 @@ ORACLES: dict[str, str] = {
     "rl_golden_records": SQL_RL_GOLDEN_RECORDS,
     "rl_blocking_scheme_eval": SQL_RL_BLOCKING_SCHEME_EVAL,
     "rl_fs_tf_bands": SQL_RL_FS_TF_BANDS,
+    "rl_cluster_audit": SQL_RL_CLUSTER_AUDIT,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

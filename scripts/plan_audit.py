@@ -59,6 +59,7 @@ AUDITED = [
     "rl_golden_records",
     "rl_blocking_scheme_eval",
     "rl_fs_tf_bands",
+    "rl_cluster_audit",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
