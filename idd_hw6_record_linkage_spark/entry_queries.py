@@ -42,6 +42,7 @@ Operator coverage mapping (SURVEY §2):
 - blocking-scheme RR/PC bake-off:    rl_blocking_scheme_eval
 - FS TF-adjusted weights + bands:    rl_fs_tf_bands
 - cluster density/bridge audit:      rl_cluster_audit
+- B-cubed cluster evaluation:        rl_bcubed_eval
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -973,6 +974,54 @@ e0 AS (
 )
 SELECT *, (density < 0.9 OR (min_degree <= 1 AND n_members > 2)) AS suspect
 FROM base
+"""
+
+
+def rl_bcubed_eval(spark, sf_dir):
+    """B-cubed cluster evaluation (operators.evaluation.bcubed) of the
+    linkage clustering against exact-text truth groups (md5(text);
+    NULL-text docs are their own singletons). Record-weighted, so the
+    long tail of small entities counts — unlike pairwise F1, which the
+    biggest clusters dominate quadratically."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import bcubed
+
+    pred = rl_clusters(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("text").isNull(),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.md5("text"))
+        .alias("truth_id"),
+    )
+    return bcubed(pred, truth)
+
+
+SQL_RL_BCUBED_EVAL = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+tr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN text IS NULL
+              THEN 'null:' || CAST(doc_id AS VARCHAR)
+              ELSE md5(text) END AS truth_id
+  FROM documents
+), j AS (
+  SELECT cl.entity_id AS c, tr.truth_id AS t
+  FROM cl JOIN tr USING (url)
+), nct AS (SELECT c, t, count(*) AS n_ct FROM j GROUP BY 1, 2),
+nc AS (SELECT c, count(*) AS n_c FROM j GROUP BY 1),
+nt AS (SELECT t, count(*) AS n_t FROM j GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM j),
+ps AS (SELECT sum(n_ct * n_ct * 1.0 / n_c) AS ps FROM nct JOIN nc USING (c)),
+rs AS (SELECT sum(n_ct * n_ct * 1.0 / n_t) AS rs FROM nct JOIN nt USING (t))
+SELECT n.n_records,
+       round(ps.ps / n.n_records, 6) AS bcubed_precision,
+       round(rs.rs / n.n_records, 6) AS bcubed_recall,
+       round(2 * (ps.ps / n.n_records) * (rs.rs / n.n_records)
+             / ((ps.ps / n.n_records) + (rs.rs / n.n_records)),
+             6) AS bcubed_f1
+FROM n, ps, rs
 """
 
 
@@ -3345,6 +3394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_blocking_scheme_eval": rl_blocking_scheme_eval,
     "rl_fs_tf_bands": rl_fs_tf_bands,
     "rl_cluster_audit": rl_cluster_audit,
+    "rl_bcubed_eval": rl_bcubed_eval,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3469,6 +3519,7 @@ ORACLES: dict[str, str] = {
     "rl_blocking_scheme_eval": SQL_RL_BLOCKING_SCHEME_EVAL,
     "rl_fs_tf_bands": SQL_RL_FS_TF_BANDS,
     "rl_cluster_audit": SQL_RL_CLUSTER_AUDIT,
+    "rl_bcubed_eval": SQL_RL_BCUBED_EVAL,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

@@ -200,3 +200,51 @@ def subgroup_recall(
         F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
         (F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("recall"),
     )
+
+
+def bcubed(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "entity_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """B-cubed cluster evaluation (Bagga & Baldwin 1998) — the
+    record-weighted cluster metric the pairwise F1 (pairwise_cluster_f1)
+    cannot replace: pairwise F1 is dominated by the largest clusters
+    (quadratic weight), B³ weights every RECORD equally, so it sees
+    mistakes in the long tail of small entities.
+
+    One row: (n_records, bcubed_precision, bcubed_recall, bcubed_f1).
+    Per record r, precision(r) = |C(r) ∩ T(r)| / |C(r)|; the record sum
+    collapses to Σ_{c,t} n_ct² / n_c — three hash aggregates (n_ct,
+    n_c, n_t) + two joins on cluster ids, never a per-record loop or a
+    pairwise blowup. Records present in only one of the two assignments
+    are excluded (inner join) — both sides must cover the corpus.
+    """
+    j = pred.select(F.col(id_col).alias("__id"), F.col(pred_col).alias("__c")).join(
+        truth.select(F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")),
+        "__id",
+    )
+    nct = j.groupBy("__c", "__t").agg(F.count("*").alias("n_ct"))
+    nc = j.groupBy("__c").agg(F.count("*").alias("n_c"))
+    nt = j.groupBy("__t").agg(F.count("*").alias("n_t"))
+    n = j.agg(F.count("*").cast("long").alias("n_records"))
+    psum = nct.join(nc, "__c").agg(
+        F.sum(F.col("n_ct") * F.col("n_ct") / F.col("n_c")).alias("__ps")
+    )
+    rsum = nct.join(nt, "__t").agg(
+        F.sum(F.col("n_ct") * F.col("n_ct") / F.col("n_t")).alias("__rs")
+    )
+    p = F.col("__ps") / F.col("n_records")
+    r = F.col("__rs") / F.col("n_records")
+    return (
+        n.crossJoin(F.broadcast(psum))
+        .crossJoin(F.broadcast(rsum))
+        .select(
+            "n_records",
+            F.round(p, 6).alias("bcubed_precision"),
+            F.round(r, 6).alias("bcubed_recall"),
+            F.round(2 * p * r / (p + r), 6).alias("bcubed_f1"),
+        )
+    )

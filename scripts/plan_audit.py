@@ -60,6 +60,7 @@ AUDITED = [
     "rl_blocking_scheme_eval",
     "rl_fs_tf_bands",
     "rl_cluster_audit",
+    "rl_bcubed_eval",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
@@ -101,6 +102,7 @@ CARTESIAN_OK = {
     "ann_topk_brute",
     "rl_blocking_scheme_eval",
     "rl_fs_tf_bands",
+    "rl_bcubed_eval",  # one-row precision × recall × count crosses
 }
 
 
