@@ -43,6 +43,7 @@ Operator coverage mapping (SURVEY §2):
 - FS TF-adjusted weights + bands:    rl_fs_tf_bands
 - cluster density/bridge audit:      rl_cluster_audit
 - B-cubed cluster evaluation:        rl_bcubed_eval
+- batch incremental attachment:      rl_attach_increment
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -977,6 +978,44 @@ FROM base
 """
 
 
+def rl_attach_increment(spark, sf_dir):
+    """Batch incremental linkage (operators.attach.attach_to_clusters):
+    the doc_id % 7 == 0 slice plays today's delta, the rest the
+    resolved corpus (entities = exact-text groups labeled by min
+    member id, NULL-text docs singletons). Delta records block+score
+    against the corpus with the shared feature set and attach to the
+    best cluster at >= 0.5 (max member score, ties to the smaller
+    entity label), else found their own singleton entity."""
+    from idd_hw6_record_linkage_spark.operators.attach import (
+        attach_to_clusters,
+    )
+
+    scored = _cross_source_scored(
+        spark,
+        sf_dir,
+        l_filter=F.col("doc_id") % 7 == 0,
+        r_filter=F.col("doc_id") % 7 != 0,
+    ).select(
+        F.col("id_l").cast("string").alias("id_new"),
+        F.col("id_r").cast("string").alias("id_old"),
+        "score",
+    )
+    ex = _docs(spark, sf_dir).where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "text"
+    )
+    grp = ex.where(F.col("text").isNotNull()).groupBy("text").agg(
+        F.min("doc_id").alias("__ent")
+    )
+    clusters = ex.join(grp, "text", "left").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.coalesce("__ent", "doc_id").cast("string").alias("entity_id"),
+    )
+    new_ids = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string").alias("url")
+    )
+    return attach_to_clusters(scored, clusters, new_ids, threshold=0.5)
+
+
 def rl_bcubed_eval(spark, sf_dir):
     """B-cubed cluster evaluation (operators.evaluation.bcubed) of the
     linkage clustering against exact-text truth groups (md5(text);
@@ -1130,13 +1169,18 @@ LEFT JOIN norms nr ON nr.doc_id = p.id_r
 """
 
 
-def _cross_source_scored(spark, sf_dir):
+def _cross_source_scored(spark, sf_dir, l_filter=None, r_filter=None):
     """Shared scored-pair basis for the two-source queries: documents
-    split into two disjoint sources (doc_id mod 3: 0 vs nonzero — the
-    synthetic dup structure repeats every 20 ids, so a mod-2 split
-    would put every dup pair on one side), blocked on the same key per
+    split into two disjoint sources (default doc_id mod 3: 0 vs
+    nonzero — the synthetic dup structure repeats every 20 ids, so a
+    mod-2 split would put every dup pair on one side; callers may pass
+    their own disjoint split predicates), blocked on the same key per
     side, CROSS-source candidate equi-join (no id-order constraint —
     sides are disjoint), scored with the shared feature set."""
+    if l_filter is None:
+        l_filter = F.col("doc_id") % 3 == 0
+    if r_filter is None:
+        r_filter = F.col("doc_id") % 3 != 0
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.substring("text", 1, 40).alias("t40"),
@@ -1148,11 +1192,11 @@ def _cross_source_scored(spark, sf_dir):
         F.col("n_chars").cast("double").alias("nc"),
         _block_key().alias("block_key"),
     ).where(F.col("block_key").isNotNull())
-    l = docs.where(F.col("doc_id") % 3 == 0).select(  # noqa: E741
+    l = docs.where(l_filter).select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("t40").alias("t40_l"),
         F.col("toks").alias("toks_l"), F.col("nc").alias("nc_l"), "block_key",
     )
-    r = docs.where(F.col("doc_id") % 3 != 0).select(
+    r = docs.where(r_filter).select(
         F.col("doc_id").alias("id_r"), F.col("t40").alias("t40_r"),
         F.col("toks").alias("toks_r"), F.col("nc").alias("nc_r"), "block_key",
     )
@@ -1240,6 +1284,47 @@ SQL_RL_ONE_TO_ONE_MATCHES = (
   FROM s WHERE score >= 0.3
 )
 SELECT id_l, id_r, score FROM f WHERE rank_l = 1 AND rank_r = 1
+"""
+)
+
+
+# Same scored-pair basis as the cross-source oracle, split mod-7
+# (delta vs corpus) instead of mod-3 — a targeted replace so the score
+# expression can never drift between the two oracles.
+_SQL_ATTACH_S_CTE = _SQL_CROSS_SOURCE_S_CTE.replace(
+    "a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0",
+    "a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0",
+)
+assert _SQL_ATTACH_S_CTE != _SQL_CROSS_SOURCE_S_CTE
+
+SQL_RL_ATTACH_INCREMENT = (
+    _SQL_ATTACH_S_CTE
+    + """, ex AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+), grp AS (
+  SELECT text, min(doc_id) AS ent FROM ex
+  WHERE text IS NOT NULL GROUP BY text
+), cl AS (
+  SELECT CAST(ex.doc_id AS VARCHAR) AS url,
+         CAST(coalesce(grp.ent, ex.doc_id) AS VARCHAR) AS entity_id
+  FROM ex LEFT JOIN grp USING (text)
+), cand AS (
+  SELECT CAST(s.id_l AS VARCHAR) AS id_new, cl.entity_id,
+         max(s.score) AS attach_score
+  FROM s JOIN cl ON cl.url = CAST(s.id_r AS VARCHAR)
+  WHERE s.score >= 0.5 GROUP BY 1, 2
+), best AS (
+  SELECT id_new, entity_id, attach_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_new
+      ORDER BY attach_score DESC, entity_id ASC) AS rk FROM cand)
+  WHERE rk = 1
+), newids AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url FROM documents
+  WHERE doc_id % 7 = 0
+)
+SELECT n.url, coalesce(b.entity_id, n.url) AS entity_id, b.attach_score,
+       b.entity_id IS NOT NULL AS attached
+FROM newids n LEFT JOIN best b ON b.id_new = n.url
 """
 )
 
@@ -3395,6 +3480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_fs_tf_bands": rl_fs_tf_bands,
     "rl_cluster_audit": rl_cluster_audit,
     "rl_bcubed_eval": rl_bcubed_eval,
+    "rl_attach_increment": rl_attach_increment,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3520,6 +3606,7 @@ ORACLES: dict[str, str] = {
     "rl_fs_tf_bands": SQL_RL_FS_TF_BANDS,
     "rl_cluster_audit": SQL_RL_CLUSTER_AUDIT,
     "rl_bcubed_eval": SQL_RL_BCUBED_EVAL,
+    "rl_attach_increment": SQL_RL_ATTACH_INCREMENT,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

@@ -61,6 +61,7 @@ AUDITED = [
     "rl_fs_tf_bands",
     "rl_cluster_audit",
     "rl_bcubed_eval",
+    "rl_attach_increment",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
