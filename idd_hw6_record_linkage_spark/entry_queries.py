@@ -44,6 +44,7 @@ Operator coverage mapping (SURVEY §2):
 - cluster density/bridge audit:      rl_cluster_audit
 - B-cubed cluster evaluation:        rl_bcubed_eval
 - batch incremental attachment:      rl_attach_increment
+- threshold operating-point sweep:   rl_threshold_sweep
 - trainable quality classifier:      quality_model_gate (tripwire)
 - active-learning loop (M4):         rl_active_learning_gate (tripwire)
 - compression-ratio quality signal:  text_compression_gate (tripwire)
@@ -1014,6 +1015,78 @@ def rl_attach_increment(spark, sf_dir):
         F.col("doc_id").cast("string").alias("url")
     )
     return attach_to_clusters(scored, clusters, new_ids, threshold=0.5)
+
+
+def rl_threshold_sweep(spark, sf_dir):
+    """Operating-point curve (operators.evaluation.threshold_sweep):
+    P/R/F1 of the pair-feature mean score against the synthetic truth
+    at six candidate thresholds, in one pass (pairs exploded by the
+    six scalars, aggregated per threshold; FN includes blocking
+    misses via |truth| - tp)."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        threshold_sweep,
+    )
+
+    scored = rl_pair_features(spark, sf_dir).select("id_l", "id_r", "score")
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    l = d.withColumnsRenamed(  # noqa: E741
+        {"doc_id": "id_l", "source": "s_l", "n_chars": "n_l"}
+    )
+    r = d.withColumnsRenamed({"doc_id": "id_r", "source": "s_r", "n_chars": "n_r"})
+    truth = (
+        l.join(r, (F.col("s_l") == F.col("s_r")) & (F.col("id_l") < F.col("id_r")))
+        .where(F.abs(F.col("n_l") - F.col("n_r")) <= 10)
+        .select("id_l", "id_r")
+    )
+    return threshold_sweep(
+        scored, truth, [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+    )
+
+
+SQL_RL_THRESHOLD_SWEEP = f"""
+WITH pf AS ({SQL_RL_PAIR_FEATURES}
+), truth AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE abs(a.n_chars - b.n_chars) <= 10
+), tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+flagged AS (
+  SELECT pf.score,
+         CASE WHEN t.id_l IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM pf LEFT JOIN truth t ON t.id_l = pf.id_l AND t.id_r = pf.id_r
+), th AS (
+  SELECT * FROM (VALUES (0.3), (0.4), (0.5), (0.6), (0.7), (0.8))
+    AS v(threshold)
+), agg AS (
+  SELECT th.threshold,
+    CAST(sum(CASE WHEN f.score >= th.threshold THEN f.is_true
+             ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN f.score >= th.threshold THEN 1 - f.is_true
+             ELSE 0 END) AS BIGINT) AS fp
+  FROM th CROSS JOIN flagged f GROUP BY 1
+)
+SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp,
+  CAST((SELECT n_truth FROM tn) - tp AS BIGINT) AS fn,
+  round(CASE WHEN tp + fp > 0
+        THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+  round(CASE WHEN (SELECT n_truth FROM tn) > 0
+        THEN tp / CAST((SELECT n_truth FROM tn) AS DOUBLE)
+        ELSE 0.0 END, 6) AS recall,
+  round(CASE WHEN (CASE WHEN tp + fp > 0
+              THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+            + (CASE WHEN (SELECT n_truth FROM tn) > 0
+               THEN tp / CAST((SELECT n_truth FROM tn) AS DOUBLE)
+               ELSE 0.0 END) > 0
+        THEN 2 * (CASE WHEN tp + fp > 0
+                  THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+               * (tp / CAST((SELECT n_truth FROM tn) AS DOUBLE))
+             / ((CASE WHEN tp + fp > 0
+                 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+                + (tp / CAST((SELECT n_truth FROM tn) AS DOUBLE)))
+        ELSE 0.0 END, 6) AS f1
+FROM agg
+"""
 
 
 def rl_bcubed_eval(spark, sf_dir):
@@ -3481,6 +3554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_cluster_audit": rl_cluster_audit,
     "rl_bcubed_eval": rl_bcubed_eval,
     "rl_attach_increment": rl_attach_increment,
+    "rl_threshold_sweep": rl_threshold_sweep,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
@@ -3607,6 +3681,7 @@ ORACLES: dict[str, str] = {
     "rl_cluster_audit": SQL_RL_CLUSTER_AUDIT,
     "rl_bcubed_eval": SQL_RL_BCUBED_EVAL,
     "rl_attach_increment": SQL_RL_ATTACH_INCREMENT,
+    "rl_threshold_sweep": SQL_RL_THRESHOLD_SWEEP,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

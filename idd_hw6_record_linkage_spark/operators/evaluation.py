@@ -248,3 +248,64 @@ def bcubed(
             F.round(2 * p * r / (p + r), 6).alias("bcubed_f1"),
         )
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    truth: DataFrame,
+    thresholds: list[float],
+    score_col: str = "score",
+) -> DataFrame:
+    """P/R/F1 at every candidate threshold in ONE pass over the scored
+    pairs — the operating-point tuning curve a production linkage runs
+    before freezing its cutoff (the reference fixes 0.5 and falls back
+    to 0.3 blindly; this makes the choice measurable). Returns one row
+    per threshold: (threshold, tp, fp, fn, precision, recall, f1).
+
+    FN counts truth pairs the scorer never saw (blocking misses) too:
+    fn = |truth| - tp, with |truth| a one-row aggregate crossed in.
+    Scale shape: each scored pair is exploded to |thresholds| rows
+    (thresholds are a handful of scalars — the blow-up is a small
+    constant factor, all map-side) and aggregated per threshold; no
+    global sort, no window, no per-threshold rescan of the pair table.
+    Counts are exact ints, divisions single — value-exact across
+    engines."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    truth_pairs = truth.select("id_l", "id_r").distinct()
+    n_truth = truth_pairs.agg(
+        F.count("*").cast("long").alias("__n_truth")
+    )
+    flagged = scored.select("id_l", "id_r", score_col).join(
+        truth_pairs.withColumn("__true", F.lit(1)), ["id_l", "id_r"], "left"
+    )
+    exploded = flagged.select(
+        score_col,
+        F.coalesce("__true", F.lit(0)).alias("__true"),
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+        ).alias("threshold"),
+    )
+    pred = (F.col(score_col) >= F.col("threshold")).cast("int")
+    agg = exploded.groupBy("threshold").agg(
+        F.sum(pred * F.col("__true")).cast("long").alias("tp"),
+        F.sum(pred * (1 - F.col("__true"))).cast("long").alias("fp"),
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    r = F.when(F.col("__n_truth") > 0,
+               F.col("tp") / F.col("__n_truth")).otherwise(0.0)
+    return (
+        agg.crossJoin(F.broadcast(n_truth))
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            (F.col("__n_truth") - F.col("tp")).cast("long").alias("fn"),
+            F.round(p, 6).alias("precision"),
+            F.round(r, 6).alias("recall"),
+            F.round(
+                F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0), 6
+            ).alias("f1"),
+        )
+    )

@@ -62,6 +62,7 @@ AUDITED = [
     "rl_cluster_audit",
     "rl_bcubed_eval",
     "rl_attach_increment",
+    "rl_threshold_sweep",
     "dedup_lines",
     "pii_redact",
     "corpus_sample",
@@ -104,6 +105,7 @@ CARTESIAN_OK = {
     "rl_blocking_scheme_eval",
     "rl_fs_tf_bands",
     "rl_bcubed_eval",  # one-row precision × recall × count crosses
+    "rl_threshold_sweep",  # one-row |truth| count crossed into the curve
 }
 
 
