@@ -1,0 +1,219 @@
+"""Scale smoke for the entity-resolution operator family added in
+round 5: synthesize multi-million-row inputs (deterministic, no
+external data), run sorted-neighborhood blocking, meta-blocking,
+mutual-best 1:1 resolution, survivorship, batch attachment, cluster
+audit, B-cubed and the threshold sweep end-to-end, and print one
+timing row each plus sanity counters.
+
+Usage: python scripts/er_ops_smoke.py [n_records] [cpus]
+Defaults: 2_000_000 records, 32 cores. Prints one JSON line at the end.
+
+Sizing notes: meta-blocking runs on a 1/10 slice with a ~1M-token
+vocabulary — token blocking's co-occurrence table is the one inherently
+pair-heavy stage (Σ_b C(n_b, 2)); the slice keeps the smoke's heavy
+stage at ~10⁷ pair-block rows, which is the shape that matters, not the
+absolute count. Everything stages through parquet, not localCheckpoint
+(see corpus_ops_smoke.py for the measured heap rationale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from pyspark.sql import functions as F
+
+    from idd_hw6_record_linkage_spark.operators import (
+        attach,
+        cluster_audit,
+        evaluation,
+        meta_blocking as MB,
+        resolution,
+        sorted_neighborhood as SN,
+        survivorship,
+    )
+    from idd_hw6_record_linkage_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="er-smoke",
+                      shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def h(col, mod):
+        return (F.xxhash64(col) % mod + mod) % mod
+
+    # Records: ~4-member entities (id // 4), a 16-char sort key shared
+    # per entity with a per-record suffix (sorted-neighborhood food),
+    # 30 tokens from a ~1M vocabulary with 10 entity-shared tokens
+    # (meta-blocking food).
+    recs = (
+        spark.range(n)
+        .withColumnRenamed("id", "rid")
+        .withColumn("eid", (F.col("rid") / 4).cast("long"))
+        .withColumn(
+            "sort_key",
+            F.concat(
+                F.lpad(h(F.col("eid"), 10_000_000).cast("string"), 9, "0"),
+                F.lit("-"),
+                (F.col("rid") % 4).cast("string"),
+            ),
+        )
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda j: F.concat(
+                        F.lit("t"),
+                        F.when(
+                            j < 10,
+                            h(F.col("eid") * 16 + j, 1_000_000),
+                        )
+                        .otherwise(h(F.col("rid") * 64 + j, 1_000_000))
+                        .cast("string"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .withColumn("lang", F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (h(F.col("rid"), 3) + 1).cast("int")))
+        .withColumn("n_chars", F.length("text"))
+    )
+    stage = tempfile.mkdtemp(prefix="er_smoke_")
+    recs.write.mode("overwrite").parquet(f"{stage}/recs")
+    recs = spark.read.parquet(f"{stage}/recs")
+    n_actual = recs.count()
+    out: dict = {"n_records": n_actual, "cpus": cpus}
+
+    t0 = time.time()
+    sn = SN.sorted_neighborhood_pairs(recs, "rid", "sort_key", window=4)
+    out["sn_pairs"] = sn.count()
+    out["sn_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    slice10 = recs.where(F.col("rid") % 10 == 0)
+    keys = MB.purge_blocks(
+        MB.token_blocking(slice10, "rid", "text", min_token_len=2),
+        min_block_size=2,
+        max_block_size=200,
+    )
+    wnp = MB.prune_wnp(MB.blocking_graph(keys, "cbs"))
+    out["mb_edges_kept"] = wnp.count()
+    out["mb_sec"] = round(time.time() - t0, 1)
+
+    # Scored cross-slice pairs: every record of entity e on the "new"
+    # side (rid%4==0) scores against the other members (same eid) plus
+    # hash-noise candidates; score favors the true entity.
+    t0 = time.time()
+    newside = recs.where(F.col("rid") % 4 == 0).select(
+        F.col("rid").alias("id_new"), F.col("eid").alias("e_new")
+    )
+    oldside = recs.where(F.col("rid") % 4 != 0).select(
+        F.col("rid").alias("id_old"), F.col("eid").alias("e_old")
+    )
+    n_buckets = max(n // 4, 1)
+    true_pairs = newside.join(oldside, F.col("e_new") == F.col("e_old"))
+    noise_pairs = newside.withColumn(
+        "__b", h(F.col("id_new") * 13, n_buckets)
+    ).join(
+        oldside.withColumn("__b", h(F.col("id_old") * 7, n_buckets)),
+        "__b",
+    )
+    scored = (
+        true_pairs.unionByName(noise_pairs.drop("__b"))
+        .withColumn(
+            "score",
+            F.when(F.col("e_new") == F.col("e_old"), 0.9).otherwise(
+                (h(F.col("id_new") * 31 + F.col("id_old"), 1000)
+                 / 1000.0) * 0.6
+            ),
+        )
+        .groupBy("id_new", "id_old")
+        .agg(F.max("score").alias("score"))
+    )
+    scored.write.mode("overwrite").parquet(f"{stage}/scored")
+    scored = spark.read.parquet(f"{stage}/scored")
+    out["scored_pairs"] = scored.count()
+    out["scored_build_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    mbm = resolution.mutual_best_match(scored, "id_new", "id_old", "score")
+    out["mutual_best"] = mbm.count()
+    out["mutual_best_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    clusters = recs.select(
+        F.col("rid").alias("url"), F.col("eid").alias("entity_id")
+    )
+    golden = survivorship.consolidate_clusters(
+        recs.select(
+            F.col("eid").alias("entity_id"), "rid", "text", "lang", "n_chars"
+        ),
+        "entity_id",
+        {"rid": "min", "text": "longest", "lang": "mode", "n_chars": "max"},
+    )
+    out["golden_rows"] = golden.count()
+    out["survivorship_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    att = attach.attach_to_clusters(
+        scored,
+        clusters.where(F.col("url") % 4 != 0),
+        newside.select(F.col("id_new").alias("url")),
+        threshold=0.5,
+        new_col="id_new",
+        old_col="id_old",
+    )
+    out["attached"] = att.where("attached").count()
+    out["attach_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    edges = recs.where(F.col("rid") % 4 != 0).select(
+        F.col("rid").alias("id_l"),
+        (F.col("eid") * 4).alias("id_r"),  # chain to the entity root
+    )
+    audit = cluster_audit.cluster_quality(clusters, edges)
+    out["suspect_clusters"] = audit.where("suspect").count()
+    out["cluster_audit_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    pred = clusters
+    truth = recs.select(
+        F.col("rid").alias("url"),
+        ((F.col("rid") / 8).cast("long")).alias("truth_id"),  # coarser
+    )
+    b3 = evaluation.bcubed(pred, truth).collect()[0]
+    out["bcubed_f1"] = float(b3["bcubed_f1"])
+    out["bcubed_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    truth_pairs = oldside.join(
+        newside, F.col("e_new") == F.col("e_old")
+    ).select(
+        F.col("id_new").alias("id_l"), F.col("id_old").alias("id_r")
+    )
+    sweep = evaluation.threshold_sweep(
+        scored.withColumnsRenamed({"id_new": "id_l", "id_old": "id_r"}),
+        truth_pairs,
+        [0.3, 0.5, 0.7],
+    )
+    out["sweep_rows"] = sweep.count()
+    out["sweep_sec"] = round(time.time() - t0, 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
