@@ -122,6 +122,11 @@ HEADLINE_QUERIES = [
     "ann_topk_brute",
     "tpch_agg_pricing",
     "join_topk_customers",
+    # round-5 ER family: blocking alternative, golden records, delta
+    # attachment — each a few seconds at sf0.1, inside the gate budget
+    "rl_sorted_neighborhood",
+    "rl_golden_records",
+    "rl_attach_increment",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages
