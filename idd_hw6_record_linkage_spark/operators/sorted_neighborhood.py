@@ -18,17 +18,24 @@ window (that serializes the corpus through one task, the same trap
 2. ``row_number`` over a window partitioned BY partition id (parallel)
    plus the partition's offset is the exact global position.
 
-The two passes deliberately RECOMPUTE the range partitioning rather
-than persist/localCheckpoint a corpus-sized intermediate (caching a
-10M-doc frame measurably fights the operators for heap — see
-scripts/corpus_ops_smoke.py): Spark's range-boundary sampling is
-seeded deterministically, so a deterministic input (any engine source)
-partitions identically on both passes and the driver-collected offsets
-stay valid. Callers with a NON-deterministic input (an unseeded
-sample, a fresh uuid column) must persist it first.
+The ranged (id, key, pid) projection is PINNED with an eager
+``localCheckpoint`` before the counts collect. This is load-bearing,
+not an optimization: re-executing ``repartitionByRange`` in a later
+job does NOT reproduce the partition assignment (measured: a 200k-row
+parquet scan at 16 shuffle partitions re-sampled different range
+boundaries between the counts job and the window job, yielding 5,043
+duplicate positions and max pos > n-1 — the recompute-is-deterministic
+assumption this module originally made is empirically false). The
+pinned frame is a 2-narrow-column projection, NOT the corpus — at
+10M rows it is ~hundreds of MB, far below the corpus-staging heap
+hazard scripts/corpus_ops_smoke.py documents. Local-checkpoint storage
+is non-replicated: on a cluster, an executor loss during the
+consuming jobs fails the query (retry-level concern, not a
+correctness one).
 Neighbor pairs are then an EQUI-join: each row exploded to its w-1
 successor positions joins the position column directly — no range
-join, no skew (positions are unique by construction).
+join, no skew (positions are unique by construction, asserted by the
+multi-partition scale test).
 
 Rows with NULL sort keys cannot be ordered and are dropped from the
 neighborhood (callers wanting them must impute a key first) — stated
@@ -61,6 +68,11 @@ def global_sort_positions(
         .select(id_col, key_col)
         .repartitionByRange(parts, F.col(key_col), F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
+        # Pin the partition assignment: every consumer below (counts,
+        # window, both pair-join sides) must see the SAME row->pid map,
+        # and a re-executed range exchange does not guarantee that
+        # (see module docstring — measured duplicate positions).
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
     offsets, run = {}, 0

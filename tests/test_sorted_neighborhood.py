@@ -81,3 +81,48 @@ def test_empty_input(spark):
         _df(spark, []).where("rid > 0"), "rid", "key", window=3
     )
     assert out.count() == 0
+
+
+def test_positions_unique_at_multipartition_scale(spark, tmp_path):
+    """Regression: positions must be a permutation of 0..n-1 even when
+    the ranged projection spans many partitions of a parquet scan —
+    the re-executed range exchange used to re-sample different
+    boundaries between the counts job and the window job (measured:
+    5,043 duplicate positions at 200k rows / 16 partitions), so the
+    operator now pins the assignment with an eager localCheckpoint."""
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    recs = (
+        spark.range(n)
+        .withColumnRenamed("id", "rid")
+        .withColumn(
+            "sort_key",
+            F.concat(
+                F.lpad(
+                    ((F.xxhash64("rid") % 1000 + 1000) % 1000).cast("string"),
+                    4, "0",
+                ),
+                F.lit("-"),
+                F.col("rid").cast("string"),
+            ),
+        )
+    )
+    src = str(tmp_path / "recs")
+    recs.write.mode("overwrite").parquet(src)
+    recs = spark.read.parquet(src)
+    pos = SN.global_sort_positions(recs, "rid", "sort_key",
+                                   num_partitions=16)
+    stats = pos.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("pos").alias("nd"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    ).collect()[0]
+    assert (stats["n"], stats["nd"], stats["lo"], stats["hi"]) == (
+        n, n, 0, n - 1,
+    )
+    pairs = SN.sorted_neighborhood_pairs(
+        recs, "rid", "sort_key", window=4, num_partitions=16
+    )
+    assert pairs.count() == 3 * n - 6
