@@ -1089,6 +1089,70 @@ FROM agg
 """
 
 
+def rl_soundex_keys(spark, sf_dir):
+    """Phonetic (Soundex) blocking keys per record
+    (functions.phonetic.soundex_key — Spark's native JVM soundex,
+    whole-stage codegen). The key token is the first alphabetic word
+    of the part name (the testdata's only real-word column), matching
+    the realistic usage: soundex over a CLEANED name part. The DuckDB
+    oracle RECOMPUTES the full algorithm from scratch in portable SQL
+    (functions.phonetic.soundex_sql — DuckDB has no soundex built-in),
+    so this is value-exact at the row level, not a constant gate.
+    Map-only: no shuffle beyond the testbed scan widening."""
+    from idd_hw6_record_linkage_spark.functions.phonetic import soundex_key
+
+    tok = F.upper(F.split(F.col("p_name"), " ").getItem(0))
+    return _scan(spark, sf_dir, "part").select(
+        "p_partkey",
+        tok.alias("name_token"),
+        soundex_key(tok).alias("sdx_key"),
+    )
+
+
+def rl_soundex_blocks(spark, sf_dir):
+    """Block-size profile of the soundex key: records and implied
+    within-block pair count C(n,2) per phonetic block — the number a
+    blocking-scheme designer reads before adopting a key (same shape
+    as rl_block_stats for the B2 key). One hash-aggregate shuffle on
+    a 4-char key; at corpus scale soundex has at most 26x7^3 distinct
+    values so the aggregate state is trivially bounded."""
+    from idd_hw6_record_linkage_spark.functions.phonetic import soundex_key
+
+    tok = F.upper(F.split(F.col("p_name"), " ").getItem(0))
+    return (
+        _scan(spark, sf_dir, "part", widen=False)
+        .select(soundex_key(tok).alias("sdx_key"))
+        .groupBy("sdx_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
+
+
+def _sql_soundex_queries() -> tuple[str, str]:
+    from idd_hw6_record_linkage_spark.functions.phonetic import soundex_sql
+
+    sdx = soundex_sql("upper(split_part(p_name, ' ', 1))")
+    keys = f"""
+SELECT p_partkey, upper(split_part(p_name, ' ', 1)) AS name_token,
+       {sdx} AS sdx_key
+FROM part
+"""
+    blocks = f"""
+SELECT {sdx} AS sdx_key,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+FROM part GROUP BY 1
+"""
+    return keys, blocks
+
+
+SQL_RL_SOUNDEX_KEYS, SQL_RL_SOUNDEX_BLOCKS = _sql_soundex_queries()
+
+
 def rl_bcubed_eval(spark, sf_dir):
     """B-cubed cluster evaluation (operators.evaluation.bcubed) of the
     linkage clustering against exact-text truth groups (md5(text);
@@ -3541,6 +3605,8 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_soundex_keys": rl_soundex_keys,
+    "rl_soundex_blocks": rl_soundex_blocks,
     "rl_active_learning_gate": rl_active_learning_gate,
     "corpus_decontaminate": corpus_decontaminate,
     "lm_cross_entropy": lm_cross_entropy,
@@ -3682,6 +3748,8 @@ ORACLES: dict[str, str] = {
     "rl_bcubed_eval": SQL_RL_BCUBED_EVAL,
     "rl_attach_increment": SQL_RL_ATTACH_INCREMENT,
     "rl_threshold_sweep": SQL_RL_THRESHOLD_SWEEP,
+    "rl_soundex_keys": SQL_RL_SOUNDEX_KEYS,
+    "rl_soundex_blocks": SQL_RL_SOUNDEX_BLOCKS,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

@@ -1,0 +1,108 @@
+"""Phonetic blocking keys — Soundex, the classic record-linkage key.
+
+Phonetic keys are a standard blocking family the reference does not
+ship (its B1/B2 keys are synonym-map + prefix based; SURVEY §2.3) but
+every production linkage toolkit carries: names that sound alike land
+in the same block even when they are spelled differently
+(ROBERT/RUPERT -> R163). Spark has a native JVM implementation
+(``F.soundex``, whole-stage-codegen friendly), so the engine-side key
+is a single catalyst expression — the work in this module is the
+ORACLE: DuckDB has no soundex, so :func:`soundex_sql` replicates
+Spark's exact algorithm in portable SQL for the value-exact contract
+gate, and :func:`soundex_py` is the pure-Python replica the fuzz test
+triangulates with.
+
+Spark's algorithm (probed empirically this session on 30 edge cases,
+matching Apache-Commons ``Soundex`` with the H/W rule):
+
+1. uppercase; if the first character is not A-Z the input is returned
+   unchanged (``1ABC`` -> ``1ABC``, ``''`` -> ``''``);
+2. H and W are removed entirely and do NOT break code adjacency
+   (ASHCRAFT -> A261, not A226) — except a LEADING H/W, which is kept
+   as the output letter (HALL -> H400);
+3. remaining letters map to codes
+   (BFPV=1 CGJKQSXZ=2 DT=3 L=4 MN=5 R=6, vowels+Y=0), adjacent equal
+   codes collapse (PFISTER -> P236: the F collapses into the P);
+4. the first code is replaced by the first letter, zeros (vowel
+   separators) are dropped, and the result is right-padded with zeros
+   to exactly 4 characters.
+
+The SQL replica constrains its domain to ``^[A-Za-z]+$`` inputs —
+the contract queries extract alphabetic tokens before keying, which
+is also the realistic linkage usage (soundex over a CLEANED name
+part). Inside that domain it is byte-identical to Spark; outside it
+(digits, punctuation, empty) Spark has idiosyncratic pass-through
+behavior the replica deliberately does not chase.
+
+RE2 note: DuckDB's regexp engine has no backreferences, so the
+adjacent-duplicate collapse cannot be ``(.)\\1+`` — it is seven
+per-digit ``'DD+' -> 'D'`` passes instead (codes only span 0-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["soundex_key", "soundex_sql", "soundex_py", "SOUNDEX_CODES"]
+
+# A..Z -> soundex digit ('0' = vowel/Y separator; H/W are REMOVED
+# before this map applies, their entries exist only for a leading H/W
+# whose code never survives into the output digits).
+SOUNDEX_CODES = "01230120022455012623010202"
+
+
+def soundex_key(col: Column | str) -> Column:
+    """Native Spark soundex over an uppercased input.
+
+    Uppercasing first keeps the expression inside the documented
+    alpha domain whenever the caller extracts alphabetic tokens, and
+    costs nothing (Spark uppercases internally anyway — this just
+    makes the contract explicit).
+    """
+    return F.soundex(F.upper(col))
+
+
+def soundex_sql(expr: str) -> str:
+    """DuckDB SQL expression: Spark-exact soundex of ``expr``.
+
+    ``expr`` must evaluate to an uppercase ``[A-Z]+`` string (the
+    caller is expected to wrap with ``upper(...)`` and restrict to
+    alphabetic tokens). Returns a single scalar SQL expression —
+    nestable inside any SELECT.
+    """
+    # 1. leading char kept verbatim; H/W removed from the tail only.
+    t = (
+        f"substr({expr}, 1, 1) || "
+        f"replace(replace(substr({expr}, 2), 'H', ''), 'W', '')"
+    )
+    # 2. every letter -> its code digit (leading letter included: its
+    #    code participates in the adjacency collapse, e.g. PFISTER).
+    c = (
+        f"translate({t}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        f"'{SOUNDEX_CODES}')"
+    )
+    # 3. collapse runs of equal codes — one RE2-safe pass per digit.
+    for d in "0123456":
+        c = f"regexp_replace({c}, '{d}{d}+', '{d}', 'g')"
+    # 4. first letter + non-zero tail codes, padded to 4.
+    return (
+        f"substr(substr({expr}, 1, 1) || "
+        f"replace(substr({c}, 2), '0', '') || '000', 1, 4)"
+    )
+
+
+def soundex_py(s: str) -> str:
+    """Pure-Python replica (test triangulation only — never the hot
+    path). Same ``[A-Za-z]+`` domain as :func:`soundex_sql`."""
+    s = s.upper()
+    if not s or not ("A" <= s[0] <= "Z"):
+        return s
+    t = s[0] + s[1:].replace("H", "").replace("W", "")
+    codes = [SOUNDEX_CODES[ord(ch) - ord("A")] for ch in t]
+    collapsed: list[str] = []
+    for code in codes:
+        if not collapsed or collapsed[-1] != code:
+            collapsed.append(code)
+    digits = [d for d in collapsed[1:] if d != "0"]
+    return (s[0] + "".join(digits) + "000")[:4]
