@@ -1153,6 +1153,71 @@ FROM part GROUP BY 1
 SQL_RL_SOUNDEX_KEYS, SQL_RL_SOUNDEX_BLOCKS = _sql_soundex_queries()
 
 
+def rl_monge_elkan(spark, sf_dir):
+    """Monge-Elkan hybrid token-set similarity over the candidate
+    pairs (functions.monge_elkan) — the comparator between whole-string
+    edit distance and set Jaccard: token-order-tolerant AND typo-
+    tolerant. Fully native (transform/array_max/aggregate higher-order
+    functions, normalized-Levenshtein inner sim — the inner family the
+    DuckDB oracle can reproduce exactly; the JW-inner production
+    variant is pinned by pytest instead). Token arrays are sliced to
+    the first 6 tokens BEFORE the pair join: ME is O(|A|x|B|) per pair,
+    so the slice bounds compute and pair-shuffle bytes at any scale."""
+    from idd_hw6_record_linkage_spark.functions.monge_elkan import (
+        monge_elkan,
+        monge_elkan_sym,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 6).alias("toks"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("toks").alias("toks_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("toks").alias("toks_r"), "block_key"
+    )
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            F.round(monge_elkan("toks_l", "toks_r"), 6).alias("me_fwd"),
+            F.round(monge_elkan_sym("toks_l", "toks_r"), 6).alias("me_sym"),
+        )
+    )
+
+
+def _sql_monge_elkan_query() -> str:
+    from idd_hw6_record_linkage_spark.functions.monge_elkan import (
+        monge_elkan_sql,
+        monge_elkan_sym_sql,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 6) AS toks,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         a.toks AS toks_l, b.toks AS toks_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT id_l, id_r,
+  CAST(round({monge_elkan_sql('toks_l', 'toks_r')}, 6) AS DOUBLE) AS me_fwd,
+  CAST(round({monge_elkan_sym_sql('toks_l', 'toks_r')}, 6) AS DOUBLE) AS me_sym
+FROM p
+"""
+
+
+SQL_RL_MONGE_ELKAN = _sql_monge_elkan_query()
+
+
 def rl_bcubed_eval(spark, sf_dir):
     """B-cubed cluster evaluation (operators.evaluation.bcubed) of the
     linkage clustering against exact-text truth groups (md5(text);
@@ -3607,6 +3672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_soundex_keys": rl_soundex_keys,
     "rl_soundex_blocks": rl_soundex_blocks,
+    "rl_monge_elkan": rl_monge_elkan,
     "rl_active_learning_gate": rl_active_learning_gate,
     "corpus_decontaminate": corpus_decontaminate,
     "lm_cross_entropy": lm_cross_entropy,
@@ -3750,6 +3816,7 @@ ORACLES: dict[str, str] = {
     "rl_threshold_sweep": SQL_RL_THRESHOLD_SWEEP,
     "rl_soundex_keys": SQL_RL_SOUNDEX_KEYS,
     "rl_soundex_blocks": SQL_RL_SOUNDEX_BLOCKS,
+    "rl_monge_elkan": SQL_RL_MONGE_ELKAN,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
