@@ -363,6 +363,118 @@ FROM p
 """
 
 
+def rl_pair_token_sims(spark, sf_dir):
+    """Token-SET similarity family over the candidate pairs: Dice,
+    overlap coefficient, and set cosine (Ochiai) — the three standard
+    set comparators beside Jaccard (C6). All native array expressions
+    over the same int64-hashed token arrays rl_pair_features ships
+    through the pair join (set sizes and intersections are
+    hash-invariant, so the string-token DuckDB oracle is value-exact).
+    Map-only on top of the one block-join shuffle; token arrays are
+    distinct-deduped so sizes are set cardinalities."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: F.xxhash64(t)
+            )
+        ).alias("toks"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("toks").alias("toks_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("toks").alias("toks_r"), "block_key"
+    )
+    inter = F.size(F.array_intersect("toks_l", "toks_r")).cast("double")
+    nl, nr = F.size("toks_l"), F.size("toks_r")
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            F.round(2.0 * inter / (nl + nr), 6).alias("dice_sim"),
+            F.round(inter / F.least(nl, nr), 6).alias("overlap_sim"),
+            F.round(inter / F.sqrt((nl * nr).cast("double")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+
+
+SQL_RL_PAIR_TOKEN_SIMS = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         a.toks AS toks_l, b.toks AS toks_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+), s AS (
+  SELECT id_l, id_r,
+         CAST(len(list_intersect(toks_l, toks_r)) AS DOUBLE) AS i,
+         len(toks_l) AS nl, len(toks_r) AS nr
+  FROM p
+)
+SELECT id_l, id_r,
+  CAST(round(2.0 * i / (nl + nr), 6) AS DOUBLE) AS dice_sim,
+  CAST(round(i / least(nl, nr), 6) AS DOUBLE) AS overlap_sim,
+  CAST(round(i / sqrt(CAST(nl * nr AS DOUBLE)), 6) AS DOUBLE) AS cosine_sim
+FROM s
+"""
+
+
+def rl_gamma_patterns(spark, sf_dir):
+    """Fellegi-Sunter agreement-pattern (gamma-vector) frequency
+    profile: how many candidate pairs exhibit each of the 2^k
+    agreement patterns, with each pattern's share of all pairs — the
+    table an FS practitioner reads before trusting the EM fit (a
+    pattern with near-zero support gets an unreliable m/u estimate).
+    One hash aggregate on a k-bit key; the share's window sum runs
+    over the 2^k-row AGGREGATE OUTPUT, never the pair table."""
+    from pyspark.sql.window import Window
+
+    pf = rl_pair_features(spark, sf_dir)
+    gam = pf.select(
+        (F.col("lev_sim") >= 0.9).cast("int").alias("g_lev"),
+        (F.col("jaccard_sim") >= 0.8).cast("int").alias("g_jac"),
+        (F.col("nchars_sim") >= 0.9).cast("int").alias("g_nc"),
+    )
+    agg = gam.groupBy("g_lev", "g_jac", "g_nc").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    total = F.sum("n_pairs").over(Window.partitionBy())
+    return agg.select(
+        "g_lev",
+        "g_jac",
+        "g_nc",
+        "n_pairs",
+        F.round(F.col("n_pairs") / total.cast("double"), 6).alias("share"),
+    )
+
+
+SQL_RL_GAMMA_PATTERNS = f"""
+WITH pf AS ({SQL_RL_PAIR_FEATURES}
+), gam AS (
+  SELECT CAST(lev_sim >= 0.9 AS INT) AS g_lev,
+         CAST(jaccard_sim >= 0.8 AS INT) AS g_jac,
+         CAST(nchars_sim >= 0.9 AS INT) AS g_nc
+  FROM pf
+), agg AS (
+  SELECT g_lev, g_jac, g_nc, count(*) AS n_pairs
+  FROM gam GROUP BY 1, 2, 3
+)
+SELECT g_lev, g_jac, g_nc, n_pairs,
+  CAST(round(n_pairs / CAST(sum(n_pairs) OVER () AS DOUBLE), 6) AS DOUBLE)
+    AS share
+FROM agg
+"""
+
+
 def rl_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (operators.sorted_neighborhood):
     records ordered globally by the first 24 chars of trimmed text
@@ -3673,6 +3785,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_soundex_keys": rl_soundex_keys,
     "rl_soundex_blocks": rl_soundex_blocks,
     "rl_monge_elkan": rl_monge_elkan,
+    "rl_pair_token_sims": rl_pair_token_sims,
+    "rl_gamma_patterns": rl_gamma_patterns,
     "rl_active_learning_gate": rl_active_learning_gate,
     "corpus_decontaminate": corpus_decontaminate,
     "lm_cross_entropy": lm_cross_entropy,
@@ -3817,6 +3931,8 @@ ORACLES: dict[str, str] = {
     "rl_soundex_keys": SQL_RL_SOUNDEX_KEYS,
     "rl_soundex_blocks": SQL_RL_SOUNDEX_BLOCKS,
     "rl_monge_elkan": SQL_RL_MONGE_ELKAN,
+    "rl_pair_token_sims": SQL_RL_PAIR_TOKEN_SIMS,
+    "rl_gamma_patterns": SQL_RL_GAMMA_PATTERNS,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
