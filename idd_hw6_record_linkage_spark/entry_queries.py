@@ -475,6 +475,45 @@ FROM agg
 """
 
 
+def rl_rare_token_blocks(spark, sf_dir):
+    """Rare-token blocking keys (operators.meta_blocking
+    .rare_token_keys): each document's 2 rarest tokens by corpus
+    doc-frequency. The self-bounding alternative to block purging — a
+    block on token t holds at most df(t) records and t is only
+    selected when its df is among a record's smallest, so no hand-
+    picked size cap and no record orphaned. Deterministic (df then
+    token value orders the window), hence value-exact vs the SQL
+    window mirror."""
+    from idd_hw6_record_linkage_spark.operators import meta_blocking as MB
+
+    keys = MB.token_blocking(
+        _docs(spark, sf_dir), "doc_id", "text", min_token_len=4
+    )
+    return MB.rare_token_keys(keys, k=2)
+
+
+SQL_RL_RARE_TOKEN_BLOCKS = """
+WITH keys AS (
+  SELECT id, tok AS block_key
+  FROM (
+    SELECT doc_id AS id,
+           unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+             AS tok
+    FROM documents WHERE text IS NOT NULL
+  )
+  WHERE length(tok) >= 4
+), freq AS (
+  SELECT block_key, CAST(count(*) AS BIGINT) AS df FROM keys GROUP BY 1
+), ranked AS (
+  SELECT k.id, k.block_key, f.df,
+         row_number() OVER (PARTITION BY k.id
+                            ORDER BY f.df, k.block_key) AS rk
+  FROM keys k JOIN freq f USING (block_key)
+)
+SELECT id, block_key, df FROM ranked WHERE rk <= 2
+"""
+
+
 def rl_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (operators.sorted_neighborhood):
     records ordered globally by the first 24 chars of trimmed text
@@ -3787,6 +3826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_monge_elkan": rl_monge_elkan,
     "rl_pair_token_sims": rl_pair_token_sims,
     "rl_gamma_patterns": rl_gamma_patterns,
+    "rl_rare_token_blocks": rl_rare_token_blocks,
     "rl_active_learning_gate": rl_active_learning_gate,
     "corpus_decontaminate": corpus_decontaminate,
     "lm_cross_entropy": lm_cross_entropy,
@@ -3933,6 +3973,7 @@ ORACLES: dict[str, str] = {
     "rl_monge_elkan": SQL_RL_MONGE_ELKAN,
     "rl_pair_token_sims": SQL_RL_PAIR_TOKEN_SIMS,
     "rl_gamma_patterns": SQL_RL_GAMMA_PATTERNS,
+    "rl_rare_token_blocks": SQL_RL_RARE_TOKEN_BLOCKS,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

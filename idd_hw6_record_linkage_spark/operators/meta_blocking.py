@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_blocking",
     "purge_blocks",
+    "rare_token_keys",
     "blocking_graph",
     "prune_wep",
     "prune_wnp",
@@ -102,6 +103,41 @@ def purge_blocks(
             "block_key",
         )
         .drop("__n")
+    )
+
+
+def rare_token_keys(keys: DataFrame, k: int = 2) -> DataFrame:
+    """Rare-token blocking: keep each record's ``k`` rarest tokens (by
+    corpus doc-frequency; token value breaks ties, so the selection is
+    deterministic — tokens are distinct within a record). Returns
+    (id, block_key, df).
+
+    The alternative to :func:`purge_blocks` when recall must not
+    depend on a hand-picked size cap: a stopword-like token has a huge
+    df and is never among any record's k rarest, so it simply never
+    becomes a key — and a surviving block on token t can hold at most
+    df(t) records, which is small *by construction* (t was selected
+    because its df is small). Block sizes are therefore self-bounding
+    without dropping any record from the blocking entirely (purging
+    can orphan a record whose every token is purged; here every record
+    with >= 1 token keeps >= 1 key).
+
+    Shuffles: one token-key aggregate (df), one token-keyed join of
+    the key table against the df table (both sides sharded on the
+    token — no broadcast of a vocab-sized side), one id-partitioned
+    window whose groups are per-record distinct-token lists (bounded
+    by document length, never corpus-sized)."""
+    from pyspark.sql.window import Window
+
+    freq = keys.groupBy("block_key").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("df").asc(), F.col("block_key").asc()
+    )
+    return (
+        keys.join(freq, "block_key")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("id", "block_key", "df")
     )
 
 

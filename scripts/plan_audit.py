@@ -53,6 +53,10 @@ AUDITED = [
     "corpus_decontaminate",
     "lm_cross_entropy",
     "rl_fs_match_weights",
+    "rl_soundex_keys",
+    "rl_monge_elkan",
+    "rl_pair_token_sims",
+    "rl_gamma_patterns",
     "rl_sorted_neighborhood",
     "rl_meta_blocking",
     "rl_one_to_one_matches",

@@ -164,3 +164,43 @@ def test_purging_bounds_pair_blowup(spark):
     edges = MB.blocking_graph(keys, "cbs")
     # only the 20 tok* blocks of size 20 survive: 20 * C(20,2) pairs
     assert edges.count() == 20 * (20 * 19 // 2)
+
+
+def test_rare_token_keys_matches_naive(spark, docs):
+    keys = MB.token_blocking(docs, "doc_id", "text")
+    got = {
+        (r.id, r.block_key, r.df)
+        for r in MB.rare_token_keys(keys, k=2).collect()
+    }
+    nk = naive_keys()
+    df_by_tok: dict[str, int] = {}
+    for _, tok in nk:
+        df_by_tok[tok] = df_by_tok.get(tok, 0) + 1
+    want = set()
+    for i in {i for i, _ in nk}:
+        toks = sorted(
+            (tok for j, tok in nk if j == i),
+            key=lambda t: (df_by_tok[t], t),
+        )[:2]
+        want |= {(i, t, df_by_tok[t]) for t in toks}
+    assert got == want
+
+
+def test_rare_token_keys_self_bounding(spark):
+    """A stopword token (df = n) is never selected; every surviving
+    block's size is <= its token's df, which is small by construction;
+    and no tokened record is orphaned (unlike purging)."""
+    n = 300
+    rows = [(i, f"stopword pair{i // 2} trio{i // 3}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    keys = MB.token_blocking(df, "doc_id", "text")
+    rare = MB.rare_token_keys(keys, k=2).collect()
+    toks = {r.block_key for r in rare}
+    assert "stopword" not in toks  # df=n, never among the 2 rarest
+    assert {r.id for r in rare} == set(range(n))  # nobody orphaned
+    sizes: dict[str, int] = {}
+    dfs: dict[str, int] = {}
+    for r in rare:
+        sizes[r.block_key] = sizes.get(r.block_key, 0) + 1
+        dfs[r.block_key] = r.df
+    assert all(sizes[t] <= dfs[t] <= 3 for t in sizes)
