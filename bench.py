@@ -127,6 +127,10 @@ HEADLINE_QUERIES = [
     "rl_sorted_neighborhood",
     "rl_golden_records",
     "rl_attach_increment",
+    # late round-5 comparator/blocking additions: native higher-order
+    # Monge-Elkan over the pair join; self-bounding rare-token keys
+    "rl_monge_elkan",
+    "rl_rare_token_blocks",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

@@ -57,6 +57,7 @@ AUDITED = [
     "rl_monge_elkan",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
+    "rl_rare_token_blocks",
     "rl_sorted_neighborhood",
     "rl_meta_blocking",
     "rl_one_to_one_matches",
