@@ -1075,6 +1075,62 @@ LEFT JOIN mode_source ms ON ms.entity_id = p.entity_id
 """
 
 
+def rl_constraint_check(spark, sf_dir):
+    """Cannot-link constraint audit (operators.cluster_audit
+    .constraint_check): per source, the two lowest-doc_id records form
+    a deterministic cannot-link pair (stand-in for a business rule
+    like 'two records of the same source must not co-resolve in a
+    dedup run'); each constraint is annotated with both records'
+    entity assignments and a violated flag. Two hash joins of the
+    small constraint table against the assignment table — the
+    assignment side is the only corpus-sized shuffle."""
+    from pyspark.sql.window import Window
+
+    from idd_hw6_record_linkage_spark.operators.cluster_audit import (
+        constraint_check,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("source").isNotNull())
+        .select("source", "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    rn = docs.withColumn("__rn", F.row_number().over(w))
+    a = rn.where(F.col("__rn") == 1).select(
+        "source", F.col("doc_id").cast("string").alias("id_l")
+    )
+    b = rn.where(F.col("__rn") == 2).select(
+        "source", F.col("doc_id").cast("string").alias("id_r")
+    )
+    pairs = a.join(b, "source")
+    out = constraint_check(rl_clusters(spark, sf_dir), pairs, id_col="url")
+    return out.select(
+        "source", "id_l", "id_r", "cluster_l", "cluster_r", "violated"
+    )
+
+
+SQL_RL_CONSTRAINT_CHECK = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+d AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents WHERE source IS NOT NULL
+), p AS (
+  SELECT a.source, CAST(a.doc_id AS VARCHAR) AS id_l,
+         CAST(b.doc_id AS VARCHAR) AS id_r
+  FROM d a JOIN d b ON a.source = b.source AND a.rn = 1 AND b.rn = 2
+)
+SELECT p.source, p.id_l, p.id_r,
+       ca.entity_id AS cluster_l, cb.entity_id AS cluster_r,
+       (ca.entity_id IS NOT NULL AND cb.entity_id IS NOT NULL
+        AND ca.entity_id = cb.entity_id) AS violated
+FROM p
+LEFT JOIN cl ca ON ca.url = p.id_l
+LEFT JOIN cl cb ON cb.url = p.id_r
+"""
+
+
 def rl_cluster_audit(spark, sf_dir):
     """Cluster-quality audit (operators.cluster_audit.cluster_quality)
     over the linkage result: per multi-member cluster, edge density
@@ -3827,6 +3883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_pair_token_sims": rl_pair_token_sims,
     "rl_gamma_patterns": rl_gamma_patterns,
     "rl_rare_token_blocks": rl_rare_token_blocks,
+    "rl_constraint_check": rl_constraint_check,
     "rl_active_learning_gate": rl_active_learning_gate,
     "corpus_decontaminate": corpus_decontaminate,
     "lm_cross_entropy": lm_cross_entropy,
@@ -3974,6 +4031,7 @@ ORACLES: dict[str, str] = {
     "rl_pair_token_sims": SQL_RL_PAIR_TOKEN_SIMS,
     "rl_gamma_patterns": SQL_RL_GAMMA_PATTERNS,
     "rl_rare_token_blocks": SQL_RL_RARE_TOKEN_BLOCKS,
+    "rl_constraint_check": SQL_RL_CONSTRAINT_CHECK,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

@@ -27,7 +27,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cluster_quality"]
+__all__ = ["cluster_quality", "constraint_check", "cannot_link_violations"]
+
+
+def constraint_check(
+    clusters: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "url",
+    cluster_col: str = "entity_id",
+    left_col: str = "id_l",
+    right_col: str = "id_r",
+) -> DataFrame:
+    """Annotate cannot-link constraint ``pairs`` with both records'
+    cluster assignments and a ``violated`` flag (same non-null cluster
+    on both sides). Cannot-link constraints are the standard guard
+    against transitive over-merge: records a business rule forbids
+    from co-resolving (two records of the same source in a dedup run,
+    two different VINs, two distinct validated SSNs). Returning every
+    constraint — not just violations — keeps the output a stable audit
+    artifact whose row count equals the constraint count.
+
+    Shape at scale: two hash joins of the constraint table against the
+    assignment table on the record id; the assignment side shuffles
+    once per join, the (much smaller) constraint side rides along.
+    Unmatched ids keep NULL clusters and are never violations."""
+    a = clusters.select(
+        F.col(id_col).alias(left_col), F.col(cluster_col).alias("cluster_l")
+    )
+    b = clusters.select(
+        F.col(id_col).alias(right_col), F.col(cluster_col).alias("cluster_r")
+    )
+    return (
+        pairs.join(a, left_col, "left")
+        .join(b, right_col, "left")
+        .withColumn(
+            "violated",
+            # All three conjuncts so an unmatched side yields false,
+            # not three-valued NULL.
+            F.col("cluster_l").isNotNull()
+            & F.col("cluster_r").isNotNull()
+            & (F.col("cluster_l") == F.col("cluster_r")),
+        )
+    )
+
+
+def cannot_link_violations(
+    clusters: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "url",
+    cluster_col: str = "entity_id",
+    left_col: str = "id_l",
+    right_col: str = "id_r",
+) -> DataFrame:
+    """Only the violated constraints (see :func:`constraint_check`) —
+    the rows a production run routes to cluster splitting / review."""
+    chk = constraint_check(
+        clusters, pairs, id_col, cluster_col, left_col, right_col
+    )
+    return chk.where(F.col("violated")).drop("violated")
 
 
 def cluster_quality(

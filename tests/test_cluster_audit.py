@@ -74,3 +74,51 @@ def test_real_clustering_is_never_zero_edge(spark):
     for r in out.collect():
         assert r["n_edges"] >= r["n_members"] - 1
         assert r["density"] > 0.0
+
+
+def test_constraint_check_flags_and_nulls(spark):
+    from idd_hw6_record_linkage_spark.operators.cluster_audit import (
+        cannot_link_violations,
+        constraint_check,
+    )
+
+    clusters = spark.createDataFrame(
+        [("a1", "c_a"), ("a2", "c_a"), ("b1", "c_b"), ("c1", "c_c")],
+        "url string, entity_id string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("a1", "a2"),   # same cluster -> violated
+            ("a1", "b1"),   # different clusters -> ok
+            ("a1", "zz"),   # right id unknown -> NULL cluster, ok
+            ("zz", "yy"),   # both unknown -> ok
+        ],
+        "id_l string, id_r string",
+    )
+    got = {
+        (r.id_l, r.id_r): (r.cluster_l, r.cluster_r, r.violated)
+        for r in constraint_check(clusters, pairs).collect()
+    }
+    assert got[("a1", "a2")] == ("c_a", "c_a", True)
+    assert got[("a1", "b1")] == ("c_a", "c_b", False)
+    assert got[("a1", "zz")] == ("c_a", None, False)  # false, NOT null
+    assert got[("zz", "yy")] == (None, None, False)
+    viol = cannot_link_violations(clusters, pairs).collect()
+    assert [(r.id_l, r.id_r) for r in viol] == [("a1", "a2")]
+
+
+def test_constraint_contract_query_shape(spark):
+    from idd_hw6_record_linkage_spark import entry_queries as EQ
+
+    df = EQ.rl_constraint_check(spark, "/root/testdata/sf0.001")
+    assert df.columns == [
+        "source", "id_l", "id_r", "cluster_l", "cluster_r", "violated",
+    ]
+    rows = df.collect()
+    assert rows  # at least one source has >= 2 docs
+    # per-source pair of the two lowest doc_ids: ids are distinct and
+    # both assigned (rl_clusters covers every doc)
+    for r in rows:
+        assert r.id_l != r.id_r
+        assert r.cluster_l is not None and r.cluster_r is not None
+        assert r.violated == (r.cluster_l == r.cluster_r)
