@@ -1131,6 +1131,94 @@ LEFT JOIN cl cb ON cb.url = p.id_r
 """
 
 
+def rl_score_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC of the pair score against the synthetic
+    truth (the one-number companion to rl_threshold_sweep's operating
+    points; ranking quality over CANDIDATE pairs — blocking misses are
+    recall's problem, rl_eval_metrics'). Mann-Whitney in pure integer
+    arithmetic so both engines agree bit-for-bit: group pairs by
+    distinct score (bounded: scores are rounded to 6 decimals, so the
+    grouped table never exceeds ~1e6 rows no matter the corpus — the
+    ONLY window here runs over that bounded table, never the pair
+    table), then 2*numerator = sum(n_pos * (2*cum_neg_below + n_neg)),
+    one exact division at the end."""
+    from pyspark.sql.window import Window
+
+    scored = rl_pair_features(spark, sf_dir).select("id_l", "id_r", "score")
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    l = d.withColumnsRenamed(  # noqa: E741
+        {"doc_id": "id_l", "source": "s_l", "n_chars": "n_l"}
+    )
+    r = d.withColumnsRenamed({"doc_id": "id_r", "source": "s_r", "n_chars": "n_r"})
+    truth = (
+        l.join(r, (F.col("s_l") == F.col("s_r")) & (F.col("id_l") < F.col("id_r")))
+        .where(F.abs(F.col("n_l") - F.col("n_r")) <= 10)
+        .select("id_l", "id_r")
+    )
+    flagged = scored.join(truth.withColumn("__t", F.lit(1)), ["id_l", "id_r"], "left")
+    is_true = F.coalesce(F.col("__t"), F.lit(0))
+    by_score = flagged.groupBy("score").agg(
+        F.sum(is_true).cast("long").alias("np"),
+        F.sum(1 - is_true).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_score.withColumn(
+        "cum_nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cum_nn") + F.col("nn")))
+        .cast("long")
+        .alias("num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("num2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+            ),
+        ).alias("auc"),
+    )
+
+
+SQL_RL_SCORE_AUC = f"""
+WITH pf AS ({SQL_RL_PAIR_FEATURES}
+), truth AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE abs(a.n_chars - b.n_chars) <= 10
+), flagged AS (
+  SELECT pf.score,
+         CASE WHEN t.id_l IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM pf LEFT JOIN truth t ON t.id_l = pf.id_l AND t.id_r = pf.id_r
+), by_score AS (
+  SELECT score, CAST(sum(is_true) AS BIGINT) AS np,
+         CAST(sum(1 - is_true) AS BIGINT) AS nn
+  FROM flagged GROUP BY score
+), cum AS (
+  SELECT np, nn,
+         CAST(coalesce(sum(nn) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_nn
+  FROM by_score
+), agg AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(nn) AS BIGINT) AS n_neg,
+         CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS num2
+  FROM cum
+)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+       THEN CAST(round(num2 / (2.0 * n_pos * n_neg), 6) AS DOUBLE)
+  END AS auc
+FROM agg
+"""
+
+
 def rl_cluster_audit(spark, sf_dir):
     """Cluster-quality audit (operators.cluster_audit.cluster_quality)
     over the linkage result: per multi-member cluster, edge density
@@ -3884,6 +3972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_gamma_patterns": rl_gamma_patterns,
     "rl_rare_token_blocks": rl_rare_token_blocks,
     "rl_constraint_check": rl_constraint_check,
+    "rl_score_auc": rl_score_auc,
     "rl_active_learning_gate": rl_active_learning_gate,
     "corpus_decontaminate": corpus_decontaminate,
     "lm_cross_entropy": lm_cross_entropy,
@@ -4032,6 +4121,7 @@ ORACLES: dict[str, str] = {
     "rl_gamma_patterns": SQL_RL_GAMMA_PATTERNS,
     "rl_rare_token_blocks": SQL_RL_RARE_TOKEN_BLOCKS,
     "rl_constraint_check": SQL_RL_CONSTRAINT_CHECK,
+    "rl_score_auc": SQL_RL_SCORE_AUC,
     "corpus_vocab_topk": SQL_CORPUS_VOCAB_TOPK,
     "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,

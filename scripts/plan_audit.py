@@ -58,6 +58,8 @@ AUDITED = [
     "rl_pair_token_sims",
     "rl_gamma_patterns",
     "rl_rare_token_blocks",
+    "rl_constraint_check",
+    "rl_score_auc",
     "rl_sorted_neighborhood",
     "rl_meta_blocking",
     "rl_one_to_one_matches",

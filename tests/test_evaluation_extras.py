@@ -75,3 +75,39 @@ def test_impossible_match_rate(spark):
     assert row["n_matches"] == 3
     assert row["n_impossible"] == 1  # only u1-u3 (gap 5)
     assert abs(row["impossible_rate"] - 1 / 3) < 1e-5
+
+
+def test_score_auc_matches_naive_mann_whitney(spark):
+    """rl_score_auc's integer Mann-Whitney form vs a naive tie-aware
+    AUC on the same sf0.001 scored pairs."""
+    from idd_hw6_record_linkage_spark import entry_queries as EQ
+
+    sf = "/root/testdata/sf0.001"
+    got = EQ.rl_score_auc(spark, sf).collect()[0]
+
+    scored = {
+        (r.id_l, r.id_r): r.score
+        for r in EQ.rl_pair_features(spark, sf).collect()
+    }
+    docs = [
+        (r.doc_id, r.source, r.n_chars)
+        for r in EQ._docs(spark, sf).select(
+            "doc_id", "source", "n_chars"
+        ).collect()
+    ]
+    truth = {
+        (a, b)
+        for a, sa, na in docs
+        for b, sb, nb in docs
+        if sa is not None and sa == sb and a < b and abs(na - nb) <= 10
+    }
+    pos = [s for p, s in scored.items() if p in truth]
+    neg = [s for p, s in scored.items() if p not in truth]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    num = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        for sp in pos
+        for sn in neg
+    )
+    assert abs(got.auc - round(num / (len(pos) * len(neg)), 6)) < 1e-9
+    assert got.auc > 0.9  # score must actually rank the planted truth
