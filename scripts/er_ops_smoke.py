@@ -212,6 +212,42 @@ def main() -> None:
     out["sweep_rows"] = sweep.count()
     out["sweep_sec"] = round(time.time() - t0, 1)
 
+    # Rare-token blocking on the same 1/10 slice meta-blocking used:
+    # every record keeps exactly k=2 keys (30 distinct tokens each, all
+    # >= min length), so n_keys == 2 * |slice| by construction; the
+    # selected doc-frequencies stay tiny (mostly-unique vocabulary), so
+    # the max surviving block size — bounded by the max selected df —
+    # is the self-bounding property on display at scale.
+    t0 = time.time()
+    rare = MB.rare_token_keys(
+        MB.token_blocking(slice10, "rid", "text", min_token_len=2), k=2
+    )
+    rt = rare.agg(
+        F.count("*").alias("n"), F.max("df").alias("max_df")
+    ).collect()[0]
+    out["rare_token_keys"] = int(rt["n"])
+    out["rare_token_max_df"] = int(rt["max_df"])
+    out["rare_token_sec"] = round(time.time() - t0, 1)
+
+    # Cannot-link constraint audit at full width: one same-entity pair
+    # per entity (always violated: clusters ARE the entities) plus one
+    # cross-entity pair (never violated; the last entity's cross pair
+    # dangles to a missing id -> NULL cluster -> false, not NULL).
+    t0 = time.time()
+    ents = spark.range(n_actual // 4).withColumnRenamed("id", "eid")
+    cons = ents.select(
+        (F.col("eid") * 4).alias("id_l"), (F.col("eid") * 4 + 1).alias("id_r")
+    ).unionByName(
+        ents.select(
+            (F.col("eid") * 4).alias("id_l"),
+            (F.col("eid") * 4 + 4).alias("id_r"),
+        )
+    )
+    chk = cluster_audit.constraint_check(clusters, cons)
+    out["constraints"] = chk.count()
+    out["constraint_violations"] = chk.where("violated").count()
+    out["constraint_sec"] = round(time.time() - t0, 1)
+
     print(json.dumps(out))
 
 
