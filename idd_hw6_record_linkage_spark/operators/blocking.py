@@ -188,21 +188,31 @@ def union_pairs(*pair_dfs: DataFrame) -> DataFrame:
 
 def block_size_stats(keys: DataFrame) -> DataFrame:
     """Per-strategy block stats: count/mean/median/min/max + histogram
-    buckets (blocking_B1.py:92-127)."""
+    buckets (blocking_B1.py:92-127). Count-shaped fields coalesce to 0
+    so an EMPTY key table (e.g. a filtered-to-nothing input) yields a
+    well-typed zero row instead of NULLs that crash int() at the
+    metrics sink; mean/median/min/max stay NULL — honestly undefined
+    over zero blocks."""
     sizes = keys.groupBy("block_key").agg(F.count("*").alias("size"))
+
+    def z(col: F.Column) -> F.Column:
+        return F.coalesce(col, F.lit(0)).cast("long")
+
     return sizes.agg(
         F.count("*").alias("n_blocks"),
-        F.sum("size").alias("records_in_blocks"),
+        z(F.sum("size")).alias("records_in_blocks"),
         F.avg("size").alias("mean_size"),
         F.expr("percentile_approx(size, 0.5)").alias("median_size"),
         F.min("size").alias("min_size"),
         F.max("size").alias("max_size"),
-        F.sum((F.col("size") == 1).cast("long")).alias("blocks_1"),
-        F.sum(F.col("size").between(2, 5).cast("long")).alias("blocks_2_5"),
-        F.sum(F.col("size").between(6, 10).cast("long")).alias("blocks_6_10"),
-        F.sum(F.col("size").between(11, 50).cast("long")).alias("blocks_11_50"),
-        F.sum((F.col("size") > 50).cast("long")).alias("blocks_50_plus"),
-        F.sum(F.expr("size * (size - 1) / 2")).cast("long").alias("candidate_pairs"),
+        z(F.sum((F.col("size") == 1).cast("long"))).alias("blocks_1"),
+        z(F.sum(F.col("size").between(2, 5).cast("long"))).alias("blocks_2_5"),
+        z(F.sum(F.col("size").between(6, 10).cast("long"))).alias("blocks_6_10"),
+        z(F.sum(F.col("size").between(11, 50).cast("long"))).alias(
+            "blocks_11_50"
+        ),
+        z(F.sum((F.col("size") > 50).cast("long"))).alias("blocks_50_plus"),
+        z(F.sum(F.expr("size * (size - 1) / 2"))).alias("candidate_pairs"),
     )
 
 

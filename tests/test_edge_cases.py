@@ -24,6 +24,18 @@ def test_empty_pages_table(spark):
     assert res["edges"].count() == 0
 
 
+def test_empty_pages_table_staged(spark, tmp_path):
+    """The STAGED path (workdir metrics sink) on empty input: the
+    block-stats metrics row used to crash on int(NULL) — sum() over an
+    empty key table is NULL, which run_in_memory never exercises
+    because only the staged pipeline persists stage metrics."""
+    from idd_hw6_record_linkage_spark.plans.pipeline import dedupe_pages
+
+    res = dedupe_pages(spark, _pages(spark, []), workdir=str(tmp_path / "wd"))
+    assert res["clusters"].count() == 0
+    assert res["edges"].count() == 0
+
+
 def test_all_null_text_html_lang(spark):
     rows = [
         (f"https://a.example.com/{i}", TS, None, None, None) for i in range(6)
