@@ -379,8 +379,16 @@ def link_sources(
     }
 
 
-class LinkagePipeline:
-    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+class StagedPlan:
+    """Shared stage plumbing for resumable, metrics-tracked pipelines:
+    each stage materializes to the configured table format exactly once
+    per run_id (resume skips completed stages via the metrics table's
+    completion rows) and appends per-partition lineage. ``cfg`` must
+    carry workdir / run_id / resume / table_format / iceberg_namespace;
+    LinkagePipeline (ER) and plans.corpus_pipeline.CorpusPipeline (LLM
+    corpus hygiene) both build on this."""
+
+    def __init__(self, spark: SparkSession, cfg) -> None:
         self.spark = spark
         self.cfg = cfg
         os.makedirs(cfg.workdir, exist_ok=True)
@@ -432,6 +440,11 @@ class LinkagePipeline:
             rows_in=rows_in, pair_count=pair_count, match_count=match_count,
         )
         return out
+
+
+class LinkagePipeline(StagedPlan):
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        super().__init__(spark, cfg)
 
     # --- stages ---------------------------------------------------------
 
