@@ -43,6 +43,9 @@ Operator coverage mapping (SURVEY §2):
 - FS TF-adjusted weights + bands:    rl_fs_tf_bands
 - cluster density/bridge audit:      rl_cluster_audit
 - B-cubed cluster evaluation:        rl_bcubed_eval
+- Adjusted Rand Index:               rl_cluster_ari
+- average precision (PR curve):      rl_score_ap
+- match-graph triangle support:      rl_edge_triangles
 - batch incremental attachment:      rl_attach_increment
 - threshold operating-point sweep:   rl_threshold_sweep
 - trainable quality classifier:      quality_model_gate (tripwire)
@@ -1558,6 +1561,174 @@ SELECT n.n_records,
              / ((ps.ps / n.n_records) + (rs.rs / n.n_records)),
              6) AS bcubed_f1
 FROM n, ps, rs
+"""
+
+
+def rl_cluster_ari(spark, sf_dir):
+    """Adjusted Rand Index (operators.evaluation.adjusted_rand_index)
+    of the linkage clustering against the exact-text truth groups —
+    the chance-corrected agreement companion to rl_bcubed_eval: ARI
+    also credits agreement on separations (true negatives) and scores
+    ~0 for a random or all-singletons clustering. Same pred/truth
+    inputs as the B³ query; exact BIGINT contingency sums, one final
+    IEEE-identical division per index."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        adjusted_rand_index,
+    )
+
+    pred = rl_clusters(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("text").isNull(),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.md5("text"))
+        .alias("truth_id"),
+    )
+    return adjusted_rand_index(pred, truth)
+
+
+SQL_RL_CLUSTER_ARI = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+tr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN text IS NULL
+              THEN 'null:' || CAST(doc_id AS VARCHAR)
+              ELSE md5(text) END AS truth_id
+  FROM documents
+), j AS (
+  SELECT cl.entity_id AS c, tr.truth_id AS t
+  FROM cl JOIN tr USING (url)
+), sct AS (
+  SELECT CAST(sum(n_ct * (n_ct - 1)) AS BIGINT) AS s_ct2
+  FROM (SELECT count(*) AS n_ct FROM j GROUP BY c, t)
+), sc AS (
+  SELECT CAST(sum(n_c * (n_c - 1)) AS BIGINT) AS s_c2
+  FROM (SELECT count(*) AS n_c FROM j GROUP BY c)
+), st AS (
+  SELECT CAST(sum(n_t * (n_t - 1)) AS BIGINT) AS s_t2
+  FROM (SELECT count(*) AS n_t FROM j GROUP BY t)
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM j),
+d AS (
+  SELECT n_records, s_ct2, s_c2, s_t2,
+         CAST(n_records * (n_records - 1) AS DOUBLE) AS tot2,
+         CAST(s_ct2 AS DOUBLE) AS ct2,
+         CAST(s_c2 AS DOUBLE) AS c2,
+         CAST(s_t2 AS DOUBLE) AS t2
+  FROM n, sct, sc, st
+)
+SELECT n_records,
+       CAST(s_ct2 // 2 AS BIGINT) AS pairs_both,
+       CASE WHEN tot2 > 0
+            THEN CAST(round((tot2 - c2 - t2 + 2 * ct2) / tot2, 6) AS DOUBLE)
+            ELSE 1.0 END AS rand_index,
+       CASE WHEN tot2 * (c2 + t2) - 2 * c2 * t2 <> 0
+            THEN CAST(round((2 * ct2 * tot2 - 2 * c2 * t2)
+                            / (tot2 * (c2 + t2) - 2 * c2 * t2), 6) AS DOUBLE)
+            ELSE 1.0 END AS adjusted_rand
+FROM d
+"""
+
+
+def rl_score_ap(spark, sf_dir):
+    """Tie-grouped average precision (operators.evaluation.
+    average_precision) of the pair score against the same synthetic
+    truth rl_score_auc ranks — the PR-space companion: AUC is
+    imbalance-blind, AP is dominated by how early the rare positives
+    rank. Same bounded-distinct-score-table discipline (the only
+    window runs over the grouped scores, never the pair table)."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    scored = rl_pair_features(spark, sf_dir).select("id_l", "id_r", "score")
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    l = d.withColumnsRenamed(  # noqa: E741
+        {"doc_id": "id_l", "source": "s_l", "n_chars": "n_l"}
+    )
+    r = d.withColumnsRenamed({"doc_id": "id_r", "source": "s_r", "n_chars": "n_r"})
+    truth = (
+        l.join(r, (F.col("s_l") == F.col("s_r")) & (F.col("id_l") < F.col("id_r")))
+        .where(F.abs(F.col("n_l") - F.col("n_r")) <= 10)
+        .select("id_l", "id_r")
+    )
+    return average_precision(scored, truth)
+
+
+SQL_RL_SCORE_AP = f"""
+WITH pf AS ({SQL_RL_PAIR_FEATURES}
+), truth AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE abs(a.n_chars - b.n_chars) <= 10
+), flagged AS (
+  SELECT pf.score,
+         CASE WHEN t.id_l IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM pf LEFT JOIN truth t ON t.id_l = pf.id_l AND t.id_r = pf.id_r
+), by_score AS (
+  SELECT score, CAST(sum(is_true) AS BIGINT) AS np,
+         CAST(sum(1 - is_true) AS BIGINT) AS nn
+  FROM flagged GROUP BY score
+), cum AS (
+  SELECT np, nn,
+         CAST(sum(np) OVER w AS BIGINT) AS cum_pos,
+         CAST(sum(np + nn) OVER w AS BIGINT) AS cum_tot
+  FROM by_score
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(nn) AS BIGINT) AS n_neg,
+         sum(CAST(np AS DOUBLE) * CAST(cum_pos AS DOUBLE)
+             / CAST(cum_tot AS DOUBLE)) AS ap_num
+  FROM cum
+)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos > 0
+       THEN CAST(round(ap_num / n_pos, 6) AS DOUBLE)
+  END AS average_precision
+FROM agg
+"""
+
+
+def rl_edge_triangles(spark, sf_dir):
+    """Per-edge triangle support (operators.clustering.triangle_support)
+    over the match-edge graph: bridges (n_triangles = 0) are the
+    uncorroborated edges a single false positive rides to glue two
+    entities together; high-support edges are neighborhood-confirmed.
+    Spark side runs the degree-oriented wedge algorithm (skew-bounded:
+    every wedge apex has its triangle's minimum degree); the oracle is
+    the naive id-ordered triple self-join — same triangle set by
+    construction, so the per-edge counts are value-exact."""
+    from idd_hw6_record_linkage_spark.operators.clustering import (
+        triangle_support,
+    )
+
+    edges = rl_match_edges(spark, sf_dir).select("id_l", "id_r")
+    return triangle_support(edges)
+
+
+SQL_RL_EDGE_TRIANGLES = f"""
+WITH e AS (
+  SELECT DISTINCT least(id_l, id_r) AS a, greatest(id_l, id_r) AS b
+  FROM ({SQL_RL_MATCH_EDGES}) WHERE id_l <> id_r
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), te AS (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+), cnt AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM te GROUP BY a, b
+)
+SELECT e.a AS id_l, e.b AS id_r,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM e LEFT JOIN cnt USING (a, b)
 """
 
 
@@ -3965,6 +4136,9 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_cluster_ari": rl_cluster_ari,
+    "rl_score_ap": rl_score_ap,
+    "rl_edge_triangles": rl_edge_triangles,
     "rl_soundex_keys": rl_soundex_keys,
     "rl_soundex_blocks": rl_soundex_blocks,
     "rl_monge_elkan": rl_monge_elkan,
@@ -4058,6 +4232,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
+    "rl_score_ap": SQL_RL_SCORE_AP,
+    "rl_edge_triangles": SQL_RL_EDGE_TRIANGLES,
     "rl_block_keys": SQL_RL_BLOCK_KEYS,
     "rl_block_stats": SQL_RL_BLOCK_STATS,
     "rl_block_histogram": SQL_RL_BLOCK_HISTOGRAM,

@@ -121,3 +121,87 @@ def cluster_size_stats(clusters: DataFrame,
     return sizes.groupBy("cluster_size").agg(
         F.count("*").alias("n_clusters")
     )
+
+
+def triangle_support(
+    edges: DataFrame, id_l: str = "id_l", id_r: str = "id_r"
+) -> DataFrame:
+    """Per-edge triangle support over an undirected edge set: for every
+    canonical edge (a < b), the number of triangles it belongs to —
+    the standard ER match-graph audit signal. A match edge supported
+    by zero triangles is a BRIDGE: nothing else corroborates it, and
+    if it is a false positive it alone glues two entities together
+    (the failure mode cluster_quality_audit's min-degree flag sees
+    only after the damage). Edges in many triangles are corroborated
+    by their neighborhood.
+
+    Returns the full canonical edge set with ``n_triangles``
+    (0 for bridges). Algorithm: degree-ordered wedge counting
+    (Suri & Vassilvitskii, WWW'11 — 'Counting Triangles and the Curse
+    of the Last Reducer'): orient every edge from the (degree, id)-
+    smaller endpoint to the larger, form wedges only at each triangle's
+    lowest-order apex, and close them with a join back against the
+    oriented edges. A degree-d hub emits O(d) oriented edges but only
+    wedges over its HIGHER-degree neighbors, so the classic skew bomb —
+    a mega-hub exploding into d² wedges — is bounded: every wedge
+    apex has the minimum degree of its triangle. Three shuffles
+    (degree agg, wedge self-join, closing join); the per-edge counts
+    are one more hash aggregate over found triangles, never a
+    collect_set of neighborhoods.
+    """
+    e = (
+        edges.select(
+            F.least(id_l, id_r).alias("a"), F.greatest(id_l, id_r).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
+    o2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tris = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select("u", "v1", "v2")
+    tri_edges = (
+        tris.select(
+            F.explode(
+                F.array(
+                    F.array(F.least("u", "v1"), F.greatest("u", "v1")),
+                    F.array(F.least("u", "v2"), F.greatest("u", "v2")),
+                    F.array(F.least("v1", "v2"), F.greatest("v1", "v2")),
+                )
+            ).alias("pair")
+        )
+        .select(F.col("pair")[0].alias("a"), F.col("pair")[1].alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        e.join(tri_edges, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("id_l"),
+            F.col("b").alias("id_r"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

@@ -309,3 +309,132 @@ def threshold_sweep(
             ).alias("f1"),
         )
     )
+
+
+def adjusted_rand_index(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "entity_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between two cluster
+    assignments — the chance-corrected pairwise agreement metric that
+    complements :func:`bcubed` (record-weighted) and
+    :func:`pairwise_cluster_f1` (positive-pair-only): ARI also credits
+    agreement on SEPARATIONS (true negatives) and is 0 in expectation
+    for a random clustering, so a degenerate all-singletons prediction
+    scores ~0 rather than the perfect precision F1 would report.
+
+    One row: (n_records, pairs_both, rand_index, adjusted_rand).
+    Everything reduces to the contingency table n_ct = |C_c ∩ T_t|:
+    with doubled pair counts s_ct2 = Σ n_ct(n_ct−1), s_c2 = Σ n_c(n_c−1),
+    s_t2 = Σ n_t(n_t−1), tot2 = n(n−1) — all exact BIGINT sums, three
+    hash aggregates, no pairwise blowup —
+      RI  = (tot2 − s_c2 − s_t2 + 2·s_ct2) / tot2
+      ARI = (2·s_ct2·tot2 − 2·s_c2·s_t2)
+            / (tot2·(s_c2 + s_t2) − 2·s_c2·s_t2)
+    (the doubled-count form clears every /2 exactly: each s_*2 term is
+    a sum of n(n−1), always even). The products are evaluated in
+    DOUBLE (they reach ~n⁴) with the identical expression shape the
+    SQL oracle uses, so both engines round the same IEEE value. When
+    the ARI denominator is 0 (both clusterings all-singletons or one
+    single cluster on both sides) the index is defined as 1.0 iff the
+    numerator is 0 too, i.e. the degenerate perfect-agreement case.
+    Records present in only one assignment are excluded (inner join).
+    """
+    j = pred.select(F.col(id_col).alias("__id"), F.col(pred_col).alias("__c")).join(
+        truth.select(F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")),
+        "__id",
+    )
+    nct = j.groupBy("__c", "__t").agg(F.count("*").alias("n_ct"))
+    nc = j.groupBy("__c").agg(F.count("*").alias("n_c"))
+    nt = j.groupBy("__t").agg(F.count("*").alias("n_t"))
+    s_ct2 = nct.agg(
+        F.sum(F.col("n_ct") * (F.col("n_ct") - 1)).cast("long").alias("s_ct2")
+    )
+    s_c2 = nc.agg(F.sum(F.col("n_c") * (F.col("n_c") - 1)).cast("long").alias("s_c2"))
+    s_t2 = nt.agg(F.sum(F.col("n_t") * (F.col("n_t") - 1)).cast("long").alias("s_t2"))
+    n = j.agg(F.count("*").cast("long").alias("n_records"))
+    row = (
+        n.crossJoin(F.broadcast(s_ct2))
+        .crossJoin(F.broadcast(s_c2))
+        .crossJoin(F.broadcast(s_t2))
+    )
+    tot2 = (F.col("n_records") * (F.col("n_records") - 1)).cast("double")
+    ct2 = F.col("s_ct2").cast("double")
+    c2 = F.col("s_c2").cast("double")
+    t2 = F.col("s_t2").cast("double")
+    ri = F.when(
+        tot2 > 0, F.round((tot2 - c2 - t2 + 2 * ct2) / tot2, 6)
+    ).otherwise(F.lit(1.0))
+    ari_num = 2 * ct2 * tot2 - 2 * c2 * t2
+    ari_den = tot2 * (c2 + t2) - 2 * c2 * t2
+    ari = F.when(ari_den != 0, F.round(ari_num / ari_den, 6)).otherwise(F.lit(1.0))
+    return row.select(
+        "n_records",
+        F.expr("s_ct2 div 2").alias("pairs_both"),
+        ri.alias("rand_index"),
+        ari.alias("adjusted_rand"),
+    )
+
+
+def average_precision(
+    scored: DataFrame,
+    truth: DataFrame,
+    score_col: str = "score",
+) -> DataFrame:
+    """Tie-grouped average precision (area under the precision-recall
+    step curve) of a pair score against a truth pair set — the
+    PR-space companion to the Mann-Whitney ROC AUC: AUC is insensitive
+    to class imbalance, AP is dominated by how early the (rare)
+    positives rank, which is what an ER operating point actually
+    feels. Matches sklearn's ``average_precision_score`` exactly when
+    ties are grouped: with distinct scores s₁ > s₂ > … and per-block
+    positives np_k / cumulative (cum_pos_k, cum_tot_k),
+      AP = Σ_k (np_k / n_pos) · (cum_pos_k / cum_tot_k).
+
+    Scale shape: the pair table is reduced by ONE hash aggregate to
+    the bounded distinct-score table (scores round to 6 decimals →
+    ≤ ~1e6 rows regardless of corpus size); the only window runs over
+    that bounded table, never the pairs — the same discipline as the
+    AUC query. Truth pairs the scorer never saw (blocking misses) are
+    NOT counted: AP here ranks CANDIDATES; recall of the blocker is
+    rl_eval_metrics' job."""
+    from pyspark.sql.window import Window
+
+    flagged = scored.select("id_l", "id_r", score_col).join(
+        truth.select("id_l", "id_r").distinct().withColumn("__t", F.lit(1)),
+        ["id_l", "id_r"],
+        "left",
+    )
+    is_true = F.coalesce(F.col("__t"), F.lit(0))
+    by_score = flagged.groupBy(score_col).agg(
+        F.sum(is_true).cast("long").alias("np"),
+        F.sum(1 - is_true).cast("long").alias("nn"),
+    )
+    w = Window.orderBy(F.col(score_col).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = by_score.select(
+        "np",
+        "nn",
+        F.sum("np").over(w).cast("long").alias("cum_pos"),
+        F.sum(F.col("np") + F.col("nn")).over(w).cast("long").alias("cum_tot"),
+    )
+    agg = cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np").cast("double")
+            * F.col("cum_pos").cast("double")
+            / F.col("cum_tot").cast("double")
+        ).alias("__ap_num"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0, F.round(F.col("__ap_num") / F.col("n_pos"), 6)
+        ).alias("average_precision"),
+    )

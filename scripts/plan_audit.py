@@ -68,6 +68,9 @@ AUDITED = [
     "rl_fs_tf_bands",
     "rl_cluster_audit",
     "rl_bcubed_eval",
+    "rl_cluster_ari",
+    "rl_score_ap",
+    "rl_edge_triangles",
     "rl_attach_increment",
     "rl_threshold_sweep",
     "dedup_lines",
@@ -112,6 +115,7 @@ CARTESIAN_OK = {
     "rl_blocking_scheme_eval",
     "rl_fs_tf_bands",
     "rl_bcubed_eval",  # one-row precision × recall × count crosses
+    "rl_cluster_ari",  # one-row contingency-sum crosses (s_ct2 × s_c2 × s_t2 × n)
     "rl_threshold_sweep",  # one-row |truth| count crossed into the curve
 }
 
