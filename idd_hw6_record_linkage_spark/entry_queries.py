@@ -46,6 +46,7 @@ Operator coverage mapping (SURVEY §2):
 - Adjusted Rand Index:               rl_cluster_ari
 - average precision (PR curve):      rl_score_ap
 - match-graph triangle support:      rl_edge_triangles
+- Smith-Waterman local alignment:    rl_sw_gate (invariant tripwire)
 - batch incremental attachment:      rl_attach_increment
 - threshold operating-point sweep:   rl_threshold_sweep
 - trainable quality classifier:      quality_model_gate (tripwire)
@@ -1729,6 +1730,90 @@ WITH e AS (
 SELECT e.a AS id_l, e.b AS id_r,
        CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
 FROM e LEFT JOIN cnt USING (a, b)
+"""
+
+
+def rl_sw_gate(spark, sf_dir):
+    """Smith-Waterman local-alignment comparator invariant gate
+    (functions.alignment_sim.sim_smith_waterman). The DP itself is not
+    SQL-expressible, so — like the zlib/ML gates — the contract row
+    checks invariants an SQL engine CAN verify: the pair count over
+    the shared blocked basis, the count of contained-substring pairs,
+    and two Spark-side recomputed flags the oracle pins true (every
+    sim in [0,1]; every nonempty contained-substring pair scores
+    EXACTLY 1.0 — local alignment of a contained string is a full
+    match by construction, so any kernel regression flips the flag).
+    Bit-level parity vs the scalar DP lives in tests/test_alignment_sim.
+    Snippets are capped at 40 chars BEFORE the pair join: SW is
+    O(len²) per pair, the cap bounds compute and shuffle bytes at any
+    scale (same discipline as rl_monge_elkan's 6-token slice)."""
+    from idd_hw6_record_linkage_spark.functions.alignment_sim import (
+        sim_smith_waterman,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lower(F.substring(F.coalesce("text", F.lit("")), 1, 40)).alias("snip"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("snip").alias("snip_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("snip").alias("snip_r"), "block_key"
+    )
+    pairs = (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "snip_l",
+            "snip_r",
+            sim_smith_waterman("snip_l", "snip_r").alias("sw_sim"),
+        )
+        .withColumn(
+            "is_substr",
+            (F.length("snip_l") > 0)
+            & (F.length("snip_r") > 0)
+            & (
+                F.contains(F.col("snip_r"), F.col("snip_l"))
+                | F.contains(F.col("snip_l"), F.col("snip_r"))
+            ),
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("is_substr").cast("long")).cast("long").alias("n_substr_pairs"),
+        (
+            (F.min("sw_sim") >= F.lit(0.0)) & (F.max("sw_sim") <= F.lit(1.0))
+        ).alias("bounds_ok"),
+        (
+            F.sum(
+                F.when(
+                    F.col("is_substr") & (F.col("sw_sim") != 1.0), 1
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("substr_ok"),
+    )
+
+
+SQL_RL_SW_GATE = f"""
+WITH d AS (
+  SELECT doc_id,
+         lower(substr(coalesce(text, ''), 1, 40)) AS snip,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.snip AS sl, b.snip AS sr
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN length(sl) > 0 AND length(sr) > 0
+                          AND (position(sl IN sr) > 0 OR position(sr IN sl) > 0)
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_substr_pairs,
+       true AS bounds_ok,
+       true AS substr_ok
+FROM p
 """
 
 
@@ -4139,6 +4224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_cluster_ari": rl_cluster_ari,
     "rl_score_ap": rl_score_ap,
     "rl_edge_triangles": rl_edge_triangles,
+    "rl_sw_gate": rl_sw_gate,
     "rl_soundex_keys": rl_soundex_keys,
     "rl_soundex_blocks": rl_soundex_blocks,
     "rl_monge_elkan": rl_monge_elkan,
@@ -4235,6 +4321,7 @@ ORACLES: dict[str, str] = {
     "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
     "rl_score_ap": SQL_RL_SCORE_AP,
     "rl_edge_triangles": SQL_RL_EDGE_TRIANGLES,
+    "rl_sw_gate": SQL_RL_SW_GATE,
     "rl_block_keys": SQL_RL_BLOCK_KEYS,
     "rl_block_stats": SQL_RL_BLOCK_STATS,
     "rl_block_histogram": SQL_RL_BLOCK_HISTOGRAM,
