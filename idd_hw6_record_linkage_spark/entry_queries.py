@@ -46,6 +46,7 @@ Operator coverage mapping (SURVEY §2):
 - Adjusted Rand Index:               rl_cluster_ari
 - average precision (PR curve):      rl_score_ap
 - match-graph triangle support:      rl_edge_triangles
+- bridge-safe precision clustering:  rl_clusters_bridge_safe
 - Smith-Waterman local alignment:    rl_sw_gate (invariant tripwire)
 - batch incremental attachment:      rl_attach_increment
 - threshold operating-point sweep:   rl_threshold_sweep
@@ -1730,6 +1731,64 @@ WITH e AS (
 SELECT e.a AS id_l, e.b AS id_r,
        CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
 FROM e LEFT JOIN cnt USING (a, b)
+"""
+
+
+def rl_clusters_bridge_safe(spark, sf_dir):
+    """Precision-repaired clustering (operators.clustering.
+    filter_weak_bridges → clusters_from_edges): match edges that are
+    both uncorroborated (zero triangle support) and weak
+    (score < 0.8) are dropped before the connected-components pass —
+    the standard countermeasure to transitive closure's mega-cluster
+    failure mode, composed from the triangle-support audit. The
+    DuckDB oracle recomputes the whole chain: naive triple-join
+    triangle counts → edge filter → recursive-CTE reachability
+    fixpoint — value-exact cluster assignments."""
+    from idd_hw6_record_linkage_spark.operators.clustering import (
+        clusters_from_edges,
+        filter_weak_bridges,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+    edges = rl_match_edges(spark, sf_dir)
+    kept = filter_weak_bridges(edges, score_col="score", min_bridge_score=0.8)
+    kept_str = kept.select(
+        F.col("id_l").cast("string").alias("id_l"),
+        F.col("id_r").cast("string").alias("id_r"),
+    )
+    return clusters_from_edges(kept_str, docs, id_col="doc_id")
+
+
+SQL_RL_CLUSTERS_BRIDGE_SAFE = f"""
+WITH RECURSIVE me AS (
+  {SQL_RL_MATCH_EDGES}
+), ce AS (
+  SELECT least(id_l, id_r) AS a, greatest(id_l, id_r) AS b,
+         max(score) AS score
+  FROM me WHERE id_l <> id_r GROUP BY 1, 2
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+), te AS (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+), cnt AS (
+  SELECT a, b, count(*) AS n FROM te GROUP BY a, b
+), kept AS (
+  SELECT CAST(ce.a AS VARCHAR) AS u, CAST(ce.b AS VARCHAR) AS v
+  FROM ce LEFT JOIN cnt USING (a, b)
+  WHERE coalesce(cnt.n, 0) > 0 OR ce.score >= 0.8
+), e AS (
+  SELECT u, v FROM kept UNION ALL SELECT v, u FROM kept
+), reach(id, r) AS (
+  SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR) FROM documents
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r
+)
+SELECT id AS url, min(r) AS entity_id FROM reach GROUP BY id
 """
 
 
@@ -4224,6 +4283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_cluster_ari": rl_cluster_ari,
     "rl_score_ap": rl_score_ap,
     "rl_edge_triangles": rl_edge_triangles,
+    "rl_clusters_bridge_safe": rl_clusters_bridge_safe,
     "rl_sw_gate": rl_sw_gate,
     "rl_soundex_keys": rl_soundex_keys,
     "rl_soundex_blocks": rl_soundex_blocks,
@@ -4321,6 +4381,7 @@ ORACLES: dict[str, str] = {
     "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
     "rl_score_ap": SQL_RL_SCORE_AP,
     "rl_edge_triangles": SQL_RL_EDGE_TRIANGLES,
+    "rl_clusters_bridge_safe": SQL_RL_CLUSTERS_BRIDGE_SAFE,
     "rl_sw_gate": SQL_RL_SW_GATE,
     "rl_block_keys": SQL_RL_BLOCK_KEYS,
     "rl_block_stats": SQL_RL_BLOCK_STATS,

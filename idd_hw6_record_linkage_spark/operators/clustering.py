@@ -205,3 +205,38 @@ def triangle_support(
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+def filter_weak_bridges(
+    edges: DataFrame,
+    score_col: str = "score",
+    min_bridge_score: float = 0.8,
+) -> DataFrame:
+    """Precision repair for transitive clustering: drop match edges
+    that are BOTH uncorroborated (zero triangle support — nothing else
+    in the neighborhood confirms them) AND weak (score below
+    ``min_bridge_score``). Transitive closure's known failure mode is
+    a single borderline false positive gluing two real entities into
+    one mega-cluster; a high-score bridge or any edge inside a
+    triangle survives, so well-supported chains and confident 1:1
+    links are untouched. Returns the kept canonical (id_l, id_r)
+    edges — feed them to :func:`clusters_from_edges`.
+
+    Scale shape: :func:`triangle_support` (degree-oriented wedge
+    counting) + one equi-join back to the scored edges; no new
+    shuffle class beyond the triangle count itself.
+    """
+    tri = triangle_support(edges.select("id_l", "id_r"))
+    scored = edges.select(
+        F.least("id_l", "id_r").alias("id_l"),
+        F.greatest("id_l", "id_r").alias("id_r"),
+        F.col(score_col).alias("__score"),
+    ).groupBy("id_l", "id_r").agg(F.max("__score").alias("__score"))
+    return (
+        tri.join(scored, ["id_l", "id_r"])
+        .where(
+            (F.col("n_triangles") > 0)
+            | (F.col("__score") >= F.lit(float(min_bridge_score)))
+        )
+        .select("id_l", "id_r")
+    )

@@ -71,6 +71,7 @@ AUDITED = [
     "rl_cluster_ari",
     "rl_score_ap",
     "rl_edge_triangles",
+    "rl_clusters_bridge_safe",
     "rl_sw_gate",
     "rl_attach_increment",
     "rl_threshold_sweep",

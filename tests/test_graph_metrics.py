@@ -186,6 +186,44 @@ class TestTriangleSupport:
         assert len(out) == 20
         assert all(r.n_triangles == 0 for r in out)
 
+    def test_filter_weak_bridges_splits_glued_entities(self, spark):
+        # two triangles glued by one weak bridge: the bridge must go,
+        # both triangles must survive intact.
+        from idd_hw6_record_linkage_spark.operators.clustering import (
+            clusters_from_edges,
+            filter_weak_bridges,
+        )
+
+        tri1 = [("a", "b"), ("a", "c"), ("b", "c")]
+        tri2 = [("x", "y"), ("x", "z"), ("y", "z")]
+        edges = spark.createDataFrame(
+            [(l, r, 0.95) for l, r in tri1 + tri2] + [("c", "x", 0.55)],
+            ["id_l", "id_r", "score"],
+        )
+        kept = filter_weak_bridges(edges, min_bridge_score=0.8)
+        kept_pairs = {(r.id_l, r.id_r) for r in kept.collect()}
+        assert kept_pairs == set(tri1 + tri2)
+        nodes = spark.createDataFrame(
+            [(n,) for n in "abcxyz"], ["doc_id"]
+        )
+        cl = clusters_from_edges(kept, nodes, id_col="doc_id")
+        ent = {r.url: r.entity_id for r in cl.collect()}
+        assert ent["a"] == ent["b"] == ent["c"]
+        assert ent["x"] == ent["y"] == ent["z"]
+        assert ent["a"] != ent["x"]
+
+    def test_filter_weak_bridges_keeps_strong_bridge(self, spark):
+        from idd_hw6_record_linkage_spark.operators.clustering import (
+            filter_weak_bridges,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b", 0.95), ("b", "c", 0.85)], ["id_l", "id_r", "score"]
+        )
+        kept = {(r.id_l, r.id_r) for r in filter_weak_bridges(edges).collect()}
+        # both edges are bridges (no triangles) but score >= 0.8 keeps them
+        assert kept == {("a", "b"), ("b", "c")}
+
     def test_clique_counts(self, spark):
         # K4: every edge sits in exactly 2 triangles, 4 triangles total.
         from idd_hw6_record_linkage_spark.operators.clustering import (
