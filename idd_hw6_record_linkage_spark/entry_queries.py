@@ -44,6 +44,7 @@ Operator coverage mapping (SURVEY §2):
 - cluster density/bridge audit:      rl_cluster_audit
 - B-cubed cluster evaluation:        rl_bcubed_eval
 - Adjusted Rand Index:               rl_cluster_ari
+- V-measure + VI (entropy metrics):  rl_cluster_vmeasure
 - average precision (PR curve):      rl_score_ap
 - match-graph triangle support:      rl_edge_triangles
 - bridge-safe precision clustering:  rl_clusters_bridge_safe
@@ -1630,6 +1631,78 @@ SELECT n_records,
                             / (tot2 * (c2 + t2) - 2 * c2 * t2), 6) AS DOUBLE)
             ELSE 1.0 END AS adjusted_rand
 FROM d
+"""
+
+
+def rl_cluster_vmeasure(spark, sf_dir):
+    """V-measure (homogeneity/completeness) + Variation of Information
+    (operators.evaluation.cluster_entropy_metrics) of the linkage
+    clustering vs the exact-text truth — the entropy lens next to
+    rl_bcubed_eval and rl_cluster_ari: homogeneity sees over-merge,
+    completeness sees over-split, separately. Same pred/truth basis;
+    four log-sums over the shared contingency aggregates."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        cluster_entropy_metrics,
+    )
+
+    pred = rl_clusters(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("text").isNull(),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.md5("text"))
+        .alias("truth_id"),
+    )
+    return cluster_entropy_metrics(pred, truth)
+
+
+SQL_RL_CLUSTER_VMEASURE = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+tr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN text IS NULL
+              THEN 'null:' || CAST(doc_id AS VARCHAR)
+              ELSE md5(text) END AS truth_id
+  FROM documents
+), j AS (
+  SELECT cl.entity_id AS c, tr.truth_id AS t
+  FROM cl JOIN tr USING (url)
+), nct AS (SELECT c, t, count(*) AS n_ct FROM j GROUP BY 1, 2),
+nc AS (SELECT c, count(*) AS n_c FROM j GROUP BY 1),
+nt AS (SELECT t, count(*) AS n_t FROM j GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM j),
+stc AS (
+  SELECT sum(CAST(n_ct AS DOUBLE)
+             * ln(CAST(n_ct AS DOUBLE) / CAST(n_c AS DOUBLE))) AS s_tc
+  FROM nct JOIN nc USING (c)
+), sct AS (
+  SELECT sum(CAST(n_ct AS DOUBLE)
+             * ln(CAST(n_ct AS DOUBLE) / CAST(n_t AS DOUBLE))) AS s_ct
+  FROM nct JOIN nt USING (t)
+), st AS (
+  SELECT sum(CAST(n_t AS DOUBLE)
+             * ln(CAST(n_t AS DOUBLE) / CAST(n_records AS DOUBLE))) AS s_t
+  FROM nt, n
+), sc AS (
+  SELECT sum(CAST(n_c AS DOUBLE)
+             * ln(CAST(n_c AS DOUBLE) / CAST(n_records AS DOUBLE))) AS s_c
+  FROM nc, n
+), hc AS (
+  SELECT n_records,
+         CASE WHEN s_t <> 0 THEN 1 - s_tc / s_t ELSE 1.0 END AS h,
+         CASE WHEN s_c <> 0 THEN 1 - s_ct / s_c ELSE 1.0 END AS c,
+         -(s_tc + s_ct) / CAST(n_records AS DOUBLE) AS vi
+  FROM n, stc, sct, st, sc
+)
+SELECT n_records,
+       CAST(round(h, 6) AS DOUBLE) AS homogeneity,
+       CAST(round(c, 6) AS DOUBLE) AS completeness,
+       CAST(round(CASE WHEN h + c > 0 THEN 2 * h * c / (h + c)
+                       ELSE 0.0 END, 6) AS DOUBLE) AS v_measure,
+       CAST(round(vi, 6) AS DOUBLE) AS vi
+FROM hc
 """
 
 
@@ -4281,6 +4354,7 @@ SELECT
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_cluster_ari": rl_cluster_ari,
+    "rl_cluster_vmeasure": rl_cluster_vmeasure,
     "rl_score_ap": rl_score_ap,
     "rl_edge_triangles": rl_edge_triangles,
     "rl_clusters_bridge_safe": rl_clusters_bridge_safe,
@@ -4379,6 +4453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
+    "rl_cluster_vmeasure": SQL_RL_CLUSTER_VMEASURE,
     "rl_score_ap": SQL_RL_SCORE_AP,
     "rl_edge_triangles": SQL_RL_EDGE_TRIANGLES,
     "rl_clusters_bridge_safe": SQL_RL_CLUSTERS_BRIDGE_SAFE,

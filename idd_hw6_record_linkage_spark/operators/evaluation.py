@@ -438,3 +438,90 @@ def average_precision(
             F.col("n_pos") > 0, F.round(F.col("__ap_num") / F.col("n_pos"), 6)
         ).alias("average_precision"),
     )
+
+
+def cluster_entropy_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "entity_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Entropy-based cluster agreement (Rosenberg & Hirschberg 2007
+    V-measure + Meilă 2003 Variation of Information) — the third lens
+    next to :func:`bcubed` (record-weighted) and
+    :func:`adjusted_rand_index` (pair-weighted): homogeneity penalizes
+    clusters that MIX truth entities, completeness penalizes truth
+    entities SPLIT across clusters, and the two diagnose over-merge vs
+    over-split separately where a single F1 conflates them. VI is
+    their metric-space cousin (a true distance on clusterings).
+
+    One row: (n_records, homogeneity, completeness, v_measure, vi).
+    Everything reduces to the same contingency aggregates ARI uses —
+    n_ct, n_c, n_t, n — via four log-sums (natural log):
+      s_tc = Σ n_ct·ln(n_ct/n_c)   → H(T|C) = −s_tc/n
+      s_ct = Σ n_ct·ln(n_ct/n_t)   → H(C|T) = −s_ct/n
+      s_t  = Σ n_t·ln(n_t/n)       → H(T)   = −s_t/n
+      s_c  = Σ n_c·ln(n_c/n)       → H(C)   = −s_c/n
+      homogeneity  = 1 − s_tc/s_t (1.0 when H(T)=0)
+      completeness = 1 − s_ct/s_c (1.0 when H(C)=0)
+      v_measure    = 2hc/(h+c)    (0.0 when h+c=0)
+      vi           = −(s_tc + s_ct)/n
+    Three hash aggregates + two small joins, no pairwise blowup; the
+    SQL oracle uses the identical expression shapes so both engines
+    round the same IEEE doubles. Inner join on the id — both
+    assignments must cover a record for it to count.
+    """
+    j = pred.select(F.col(id_col).alias("__id"), F.col(pred_col).alias("__c")).join(
+        truth.select(F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")),
+        "__id",
+    )
+    nct = j.groupBy("__c", "__t").agg(F.count("*").alias("n_ct"))
+    nc = j.groupBy("__c").agg(F.count("*").alias("n_c"))
+    nt = j.groupBy("__t").agg(F.count("*").alias("n_t"))
+    n = j.agg(F.count("*").cast("long").alias("n_records"))
+    s_tc = nct.join(nc, "__c").agg(
+        F.sum(
+            F.col("n_ct").cast("double")
+            * F.log(F.col("n_ct").cast("double") / F.col("n_c").cast("double"))
+        ).alias("s_tc")
+    )
+    s_ct = nct.join(nt, "__t").agg(
+        F.sum(
+            F.col("n_ct").cast("double")
+            * F.log(F.col("n_ct").cast("double") / F.col("n_t").cast("double"))
+        ).alias("s_ct")
+    )
+    s_t = nt.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.col("n_t").cast("double")
+            * F.log(F.col("n_t").cast("double") / F.col("n_records").cast("double"))
+        ).alias("s_t")
+    )
+    s_c = nc.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.col("n_c").cast("double")
+            * F.log(F.col("n_c").cast("double") / F.col("n_records").cast("double"))
+        ).alias("s_c")
+    )
+    row = (
+        n.crossJoin(F.broadcast(s_tc))
+        .crossJoin(F.broadcast(s_ct))
+        .crossJoin(F.broadcast(s_t))
+        .crossJoin(F.broadcast(s_c))
+    )
+    h = F.when(
+        F.col("s_t") != 0, 1 - F.col("s_tc") / F.col("s_t")
+    ).otherwise(F.lit(1.0))
+    c = F.when(
+        F.col("s_c") != 0, 1 - F.col("s_ct") / F.col("s_c")
+    ).otherwise(F.lit(1.0))
+    v = F.when(h + c > 0, 2 * h * c / (h + c)).otherwise(F.lit(0.0))
+    vi = -(F.col("s_tc") + F.col("s_ct")) / F.col("n_records").cast("double")
+    return row.select(
+        "n_records",
+        F.round(h, 6).alias("homogeneity"),
+        F.round(c, 6).alias("completeness"),
+        F.round(v, 6).alias("v_measure"),
+        F.round(vi, 6).alias("vi"),
+    )

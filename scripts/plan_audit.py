@@ -69,6 +69,7 @@ AUDITED = [
     "rl_cluster_audit",
     "rl_bcubed_eval",
     "rl_cluster_ari",
+    "rl_cluster_vmeasure",
     "rl_score_ap",
     "rl_edge_triangles",
     "rl_clusters_bridge_safe",
@@ -118,6 +119,7 @@ CARTESIAN_OK = {
     "rl_fs_tf_bands",
     "rl_bcubed_eval",  # one-row precision × recall × count crosses
     "rl_cluster_ari",  # one-row contingency-sum crosses (s_ct2 × s_c2 × s_t2 × n)
+    "rl_cluster_vmeasure",  # one-row log-sum crosses (s_tc × s_ct × s_t × s_c × n)
     "rl_threshold_sweep",  # one-row |truth| count crossed into the curve
 }
 

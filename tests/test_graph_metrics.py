@@ -93,6 +93,73 @@ class TestAdjustedRandIndex:
         assert row.n_records == 2
 
 
+class TestClusterEntropyMetrics:
+    def test_matches_textbook_formulas(self, spark):
+        import math
+        from collections import Counter
+
+        from idd_hw6_record_linkage_spark.operators.evaluation import (
+            cluster_entropy_metrics,
+        )
+
+        rng = random.Random(9)
+        ids = [f"r{i}" for i in range(150)]
+        pred = [(i, f"c{rng.randint(0, 10)}") for i in ids]
+        truth = [(i, f"t{rng.randint(0, 8)}") for i in ids]
+        row = cluster_entropy_metrics(
+            spark.createDataFrame(pred, ["url", "entity_id"]),
+            spark.createDataFrame(truth, ["url", "truth_id"]),
+        ).collect()[0]
+        pm, tm = dict(pred), dict(truth)
+        n = len(ids)
+        nct = Counter((pm[i], tm[i]) for i in ids)
+        nc = Counter(pm[i] for i in ids)
+        nt = Counter(tm[i] for i in ids)
+        h_tc = -sum(v / n * math.log(v / nc[c]) for (c, t), v in nct.items())
+        h_ct = -sum(v / n * math.log(v / nt[t]) for (c, t), v in nct.items())
+        h_t = -sum(v / n * math.log(v / n) for v in nt.values())
+        h_c = -sum(v / n * math.log(v / n) for v in nc.values())
+        h = 1 - h_tc / h_t
+        c = 1 - h_ct / h_c
+        assert abs(row.homogeneity - h) < 1e-6
+        assert abs(row.completeness - c) < 1e-6
+        assert abs(row.v_measure - 2 * h * c / (h + c)) < 1e-6
+        assert abs(row.vi - (h_tc + h_ct)) < 1e-6
+
+    def test_identical_clusterings(self, spark):
+        from idd_hw6_record_linkage_spark.operators.evaluation import (
+            cluster_entropy_metrics,
+        )
+
+        rows = [("a", "x"), ("b", "x"), ("c", "y")]
+        r = cluster_entropy_metrics(
+            spark.createDataFrame(rows, ["url", "entity_id"]),
+            spark.createDataFrame(rows, ["url", "truth_id"]),
+        ).collect()[0]
+        assert (r.homogeneity, r.completeness, r.v_measure, r.vi) == (
+            1.0,
+            1.0,
+            1.0,
+            0.0,
+        )
+
+    def test_single_cluster_vs_singletons(self, spark):
+        # one mega-cluster vs all-singleton truth: perfectly complete
+        # (no truth entity is split), zero homogeneity.
+        from idd_hw6_record_linkage_spark.operators.evaluation import (
+            cluster_entropy_metrics,
+        )
+
+        ids = [f"r{i}" for i in range(6)]
+        r = cluster_entropy_metrics(
+            spark.createDataFrame([(i, "all") for i in ids], ["url", "entity_id"]),
+            spark.createDataFrame([(i, i) for i in ids], ["url", "truth_id"]),
+        ).collect()[0]
+        assert r.homogeneity == 0.0
+        assert r.completeness == 1.0
+        assert r.v_measure == 0.0
+
+
 class TestAveragePrecision:
     def _brute(self, pairs, pos):
         by = defaultdict(lambda: [0, 0])
