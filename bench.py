@@ -131,6 +131,10 @@ HEADLINE_QUERIES = [
     # Monge-Elkan over the pair join; self-bounding rare-token keys
     "rl_monge_elkan",
     "rl_rare_token_blocks",
+    # final round-5 graph additions: degree-oriented triangle support
+    # over the match edges; SW local alignment over blocked snippets
+    "rl_edge_triangles",
+    "rl_sw_gate",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

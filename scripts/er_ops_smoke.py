@@ -248,6 +248,64 @@ def main() -> None:
     out["constraint_violations"] = chk.where("violated").count()
     out["constraint_sec"] = round(time.time() - t0, 1)
 
+    # Graph audit + precision repair at full width: per-entity K4
+    # cliques (6 edges, every edge in exactly 2 triangles) chained by
+    # one weak bridge per entity (score 0.55, zero triangles). Closed
+    # forms: n_edges = 6·E + (E−1); Σ n_triangles = 12·E (4 triangles
+    # × 3 edges per K4); bridges = E−1 = the zero-support edges;
+    # filter_weak_bridges keeps exactly the 6·E clique edges; CC over
+    # the repaired graph yields exactly E clusters — without the
+    # repair the bridges chain ALL entities into one mega-cluster.
+    from idd_hw6_record_linkage_spark.operators import clustering as CL
+
+    t0 = time.time()
+    n_ent = n_actual // 4
+    combos = [(i, j) for i in range(4) for j in range(4) if i < j]
+    k4 = ents.select(
+        "eid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                    for i, j in combos
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        (F.col("eid") * 4 + F.col("c.i")).alias("id_l"),
+        (F.col("eid") * 4 + F.col("c.j")).alias("id_r"),
+        F.lit(0.95).alias("score"),
+    )
+    bridges = ents.where(F.col("eid") < n_ent - 1).select(
+        (F.col("eid") * 4).alias("id_l"),
+        (F.col("eid") * 4 + 4).alias("id_r"),
+        F.lit(0.55).alias("score"),
+    )
+    k4.unionByName(bridges).write.mode("overwrite").parquet(f"{stage}/graph")
+    graph_edges = spark.read.parquet(f"{stage}/graph")
+
+    tri = CL.triangle_support(graph_edges.select("id_l", "id_r"))
+    ts = tri.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("n_triangles").alias("tri_sum"),
+        F.sum((F.col("n_triangles") == 0).cast("long")).alias("n_bridges"),
+    ).collect()[0]
+    out["graph_edges"] = int(ts["n_edges"])
+    out["graph_tri_sum"] = int(ts["tri_sum"])
+    out["graph_bridges"] = int(ts["n_bridges"])
+    out["triangle_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    kept = CL.filter_weak_bridges(graph_edges, min_bridge_score=0.8)
+    out["graph_kept_edges"] = kept.count()
+    cc = CL.clusters_from_edges(
+        kept,
+        recs.select(F.col("rid").alias("doc_id")),
+        id_col="doc_id",
+    )
+    out["graph_clusters"] = cc.select("entity_id").distinct().count()
+    out["bridge_repair_sec"] = round(time.time() - t0, 1)
+
     print(json.dumps(out))
 
 
