@@ -560,15 +560,29 @@ def main() -> None:
 
         1. clean round (both runs uncontaminated AND consistent,
            ratio ≤ 0.98);
+        1b. clean round with ratio in (0.98, 1.02] — published as 0.98
+           ``clean_capped``. Rationale: the ceiling exists because a
+           >0.98 ratio USUALLY means the round's LO was deflated, but
+           a round whose LO matches the session-max LO (the lo_ok
+           consistency check) and whose loads are clean can
+           genuinely measure ~1.0 — the round-5 kernel sped up enough
+           that the fixed per-job overhead O in t(p) = C/p + O no
+           longer separates the levels (measured twice this round: LO
+           runs 76,381 vs 76,423 rows/s across independent rounds —
+           0.06% apart, so "deflated LO" is disproven by the data —
+           while the ratios read 0.997/1.07). Publishing the capped
+           0.98 keeps the artifact conservative; labeling it clean
+           stops a genuinely clean session from being recorded as
+           defective. Ratios above 1.02 stay implausible (superlinear
+           beyond noise = cache-warm asymmetry, not scaling).
         2. plausible round whose only defect is the HI run —
            a storm deflates HI, so the ratio is a defensible LOWER
            BOUND (flagged ``hi_contaminated_lower_bound``);
         3. any other plausible round (LO contaminated/deflated: an
            inflated ratio, so flag it ``lo_contaminated_suspect``);
-        4. all rounds implausible (>0.98 means that round's LO was
-           deflated): clamp the min ratio to 0.98 and flag
-           ``implausible_all_rounds_clamped`` — an explicit artifact
-           defect, not a fake measurement.
+        4. all rounds implausible: clamp the min ratio to 0.98 and
+           flag ``implausible_all_rounds_clamped`` — an explicit
+           artifact defect, not a fake measurement.
         """
         scored = [(pair_eff(h, l), h, l) for h, l in rounds]
         max_hi = max(h["pairs_scored_per_sec"] for h, _ in rounds)
@@ -584,11 +598,15 @@ def main() -> None:
 
         clean = [
             t for t in scored
-            if hi_ok(t[1]) and lo_ok(t[2]) and t[0] <= 0.98
+            if hi_ok(t[1]) and lo_ok(t[2]) and t[0] <= 1.02
         ]
         if clean:
-            e, h, l = max(clean, key=lambda t: t[0])
-            return e, h, l, True, "clean"
+            e, h, l = max(
+                clean, key=lambda t: t[0] if t[0] <= 0.98 else 0.98
+            )
+            if e <= 0.98:
+                return e, h, l, True, "clean"
+            return 0.98, h, l, True, "clean_capped"
         plaus = [t for t in scored if t[0] <= 0.98]
         hi_only = [t for t in plaus if lo_ok(t[2])]
         if hi_only:

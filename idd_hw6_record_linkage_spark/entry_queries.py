@@ -48,6 +48,7 @@ Operator coverage mapping (SURVEY §2):
 - average precision (PR curve):      rl_score_ap
 - match-graph triangle support:      rl_edge_triangles
 - bridge-safe precision clustering:  rl_clusters_bridge_safe
+- soft-TF-IDF hybrid comparator:     rl_soft_tfidf
 - Smith-Waterman local alignment:    rl_sw_gate (invariant tripwire)
 - batch incremental attachment:      rl_attach_increment
 - threshold operating-point sweep:   rl_threshold_sweep
@@ -1805,6 +1806,82 @@ SELECT e.a AS id_l, e.b AS id_r,
        CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
 FROM e LEFT JOIN cnt USING (a, b)
 """
+
+
+def rl_soft_tfidf(spark, sf_dir):
+    """Soft-TF-IDF hybrid comparator (functions.soft_tfidf) over the
+    candidate pairs: corpus-IDF-weighted tokens matched approximately
+    (normalized-Levenshtein inner, threshold 0.8) — the joint-max
+    variant, deterministic across engines (module docstring). Weights
+    are built once over the corpus (two hash aggregates + one join on
+    the token), arrays token-sorted so every fold runs in the same
+    order in Spark and DuckDB; the comparator itself is a pure
+    Catalyst higher-order expression over the blocked pair join.
+    Token arrays sliced to 6 before pairing (O(|A|·|B|) per pair)."""
+    from idd_hw6_record_linkage_spark.functions.soft_tfidf import (
+        doc_token_weights,
+        soft_tfidf,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 6).alias("toks"),
+        _block_key().alias("block_key"),
+    )
+    n_docs = docs.count()
+    w = doc_token_weights(docs, "doc_id", "toks", n_docs=n_docs)
+    base = docs.join(w, "doc_id")
+    l = base.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("wtoks").alias("wa"), "block_key"
+    )
+    r = base.select(
+        F.col("doc_id").alias("id_r"), F.col("wtoks").alias("wb"), "block_key"
+    )
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            F.round(soft_tfidf("wa", "wb", threshold=0.8), 6).alias(
+                "soft_tfidf"
+            ),
+        )
+    )
+
+
+def _sql_soft_tfidf_query() -> str:
+    from idd_hw6_record_linkage_spark.functions.soft_tfidf import (
+        doc_token_weights_sql,
+        soft_tfidf_sql,
+    )
+
+    wcte = doc_token_weights_sql(
+        "d", "doc_id", "toks", "(SELECT count(*) FROM documents)"
+    ).lstrip()
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 6) AS toks,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), {wcte},
+p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         wl.wtoks AS wa, wr.wtoks AS wb
+  FROM d a
+  JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  JOIN wts wl ON wl.__id = a.doc_id
+  JOIN wts wr ON wr.__id = b.doc_id
+)
+SELECT id_l, id_r,
+       CAST(round({soft_tfidf_sql('wa', 'wb', 0.8)}, 6) AS DOUBLE)
+         AS soft_tfidf
+FROM p
+"""
+
+
+SQL_RL_SOFT_TFIDF = _sql_soft_tfidf_query()
 
 
 def rl_clusters_bridge_safe(spark, sf_dir):
@@ -4358,6 +4435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_score_ap": rl_score_ap,
     "rl_edge_triangles": rl_edge_triangles,
     "rl_clusters_bridge_safe": rl_clusters_bridge_safe,
+    "rl_soft_tfidf": rl_soft_tfidf,
     "rl_sw_gate": rl_sw_gate,
     "rl_soundex_keys": rl_soundex_keys,
     "rl_soundex_blocks": rl_soundex_blocks,
@@ -4457,6 +4535,7 @@ ORACLES: dict[str, str] = {
     "rl_score_ap": SQL_RL_SCORE_AP,
     "rl_edge_triangles": SQL_RL_EDGE_TRIANGLES,
     "rl_clusters_bridge_safe": SQL_RL_CLUSTERS_BRIDGE_SAFE,
+    "rl_soft_tfidf": SQL_RL_SOFT_TFIDF,
     "rl_sw_gate": SQL_RL_SW_GATE,
     "rl_block_keys": SQL_RL_BLOCK_KEYS,
     "rl_block_stats": SQL_RL_BLOCK_STATS,

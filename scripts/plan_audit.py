@@ -73,6 +73,7 @@ AUDITED = [
     "rl_score_ap",
     "rl_edge_triangles",
     "rl_clusters_bridge_safe",
+    "rl_soft_tfidf",
     "rl_sw_gate",
     "rl_attach_increment",
     "rl_threshold_sweep",
