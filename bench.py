@@ -135,6 +135,12 @@ HEADLINE_QUERIES = [
     # over the match edges; SW local alignment over blocked snippets
     "rl_edge_triangles",
     "rl_sw_gate",
+    # closing round-5 addition: unrestricted Damerau-Levenshtein over
+    # blocked snippets (Arrow byte kernel). rl_cluster_muc stays off
+    # the clock like the other cluster metrics (ARI/B3/V-measure) —
+    # their cost is the shared upstream clustering rerun, not the
+    # metric itself.
+    "rl_damerau",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

@@ -1520,6 +1520,69 @@ FROM p
 SQL_RL_MONGE_ELKAN = _sql_monge_elkan_query()
 
 
+def rl_damerau(spark, sf_dir):
+    """Unrestricted Damerau-Levenshtein distance + normalized
+    similarity over within-block candidate pairs
+    (functions.damerau — batch-vectorized Arrow kernel over UTF-8
+    bytes). The transposition-aware edit model for typo'd names and
+    titles; unrestricted (Lowrance-Wagner) rather than OSA because
+    that is the variant DuckDB's damerau_levenshtein implements, so
+    the oracle is value-exact at the row level. Strings are sliced to
+    the first 40 chars BEFORE the pair join — DL is O(L1·L2) per pair,
+    so the slice bounds compute and pair-shuffle bytes at any scale
+    (same discipline as rl_monge_elkan's 6-token slice). Only the
+    integer distance crosses the Arrow boundary; the similarity
+    normalization is native octet_length arithmetic."""
+    from idd_hw6_record_linkage_spark.functions.damerau import (
+        damerau_distance,
+    )
+
+    s = F.coalesce(F.substring(F.trim(F.col("text")), 1, 40), F.lit(""))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", s.alias("s"), _block_key().alias("block_key")
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("s").alias("s_r"), "block_key"
+    )
+    denom = F.greatest(
+        F.octet_length("s_l"), F.octet_length("s_r"), F.lit(1)
+    )
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .withColumn("dl_dist", damerau_distance("s_l", "s_r"))
+        .select(
+            "id_l",
+            "id_r",
+            "dl_dist",
+            F.round(F.lit(1.0) - F.col("dl_dist") / denom, 6).alias(
+                "dl_sim"
+            ),
+        )
+    )
+
+
+SQL_RL_DAMERAU = f"""
+WITH d AS (
+  SELECT doc_id, coalesce(substr(trim(text), 1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.s AS s_l, b.s AS s_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT id_l, id_r,
+  CAST(damerau_levenshtein(s_l, s_r) AS BIGINT) AS dl_dist,
+  CAST(round(1.0 - damerau_levenshtein(s_l, s_r)
+             / greatest(strlen(s_l), strlen(s_r), 1), 6) AS DOUBLE)
+    AS dl_sim
+FROM p
+"""
+
+
 def rl_bcubed_eval(spark, sf_dir):
     """B-cubed cluster evaluation (operators.evaluation.bcubed) of the
     linkage clustering against exact-text truth groups (md5(text);
@@ -1704,6 +1767,68 @@ SELECT n_records,
                        ELSE 0.0 END, 6) AS DOUBLE) AS v_measure,
        CAST(round(vi, 6) AS DOUBLE) AS vi
 FROM hc
+"""
+
+
+def rl_cluster_muc(spark, sf_dir):
+    """MUC link-based score (operators.evaluation.muc_score) of the
+    linkage clustering vs the exact-text truth — completes the
+    cluster-metric family (pairwise F1 / B³ / ARI / V-measure / VI):
+    MUC charges the minimum link edits, so one bad bridge between two
+    large entities costs one link, not the quadratic pair product.
+    Same pred/truth basis as the other cluster metrics; a single
+    aggregate pass over contingency-cell counts."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import muc_score
+
+    pred = rl_clusters(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("text").isNull(),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.md5("text"))
+        .alias("truth_id"),
+    )
+    return muc_score(pred, truth)
+
+
+SQL_RL_CLUSTER_MUC = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+tr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN text IS NULL
+              THEN 'null:' || CAST(doc_id AS VARCHAR)
+              ELSE md5(text) END AS truth_id
+  FROM documents
+), j AS (
+  SELECT cl.entity_id AS c, tr.truth_id AS t
+  FROM cl JOIN tr USING (url)
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_records,
+         CAST(count(DISTINCT c) AS BIGINT) AS n_pred_clusters,
+         CAST(count(DISTINCT t) AS BIGINT) AS n_truth_clusters,
+         CAST((SELECT count(*) FROM (SELECT DISTINCT c, t FROM j))
+              AS BIGINT) AS n_overlap_cells
+  FROM j
+), m AS (
+  SELECT n_records, n_pred_clusters, n_truth_clusters, n_overlap_cells,
+         CAST(n_records - n_overlap_cells AS DOUBLE) AS num,
+         CAST(n_records - n_truth_clusters AS DOUBLE) AS den_r,
+         CAST(n_records - n_pred_clusters AS DOUBLE) AS den_p
+  FROM agg
+), pr AS (
+  SELECT n_records, n_pred_clusters, n_truth_clusters, n_overlap_cells,
+         CASE WHEN den_p > 0 THEN num / den_p ELSE 1.0 END AS p,
+         CASE WHEN den_r > 0 THEN num / den_r ELSE 1.0 END AS r
+  FROM m
+)
+SELECT n_records, n_pred_clusters, n_truth_clusters, n_overlap_cells,
+       CAST(round(p, 6) AS DOUBLE) AS muc_precision,
+       CAST(round(r, 6) AS DOUBLE) AS muc_recall,
+       CAST(round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                       ELSE 0.0 END, 6) AS DOUBLE) AS muc_f1
+FROM pr
 """
 
 
@@ -4430,6 +4555,8 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_damerau": rl_damerau,
+    "rl_cluster_muc": rl_cluster_muc,
     "rl_cluster_ari": rl_cluster_ari,
     "rl_cluster_vmeasure": rl_cluster_vmeasure,
     "rl_score_ap": rl_score_ap,
@@ -4530,6 +4657,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rl_damerau": SQL_RL_DAMERAU,
+    "rl_cluster_muc": SQL_RL_CLUSTER_MUC,
     "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
     "rl_cluster_vmeasure": SQL_RL_CLUSTER_VMEASURE,
     "rl_score_ap": SQL_RL_SCORE_AP,

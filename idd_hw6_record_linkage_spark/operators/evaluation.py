@@ -525,3 +525,60 @@ def cluster_entropy_metrics(
         F.round(v, 6).alias("v_measure"),
         F.round(vi, 6).alias("vi"),
     )
+
+
+def muc_score(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "entity_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """MUC link-based cluster agreement (Vilain et al. 1995) — the
+    fourth lens next to :func:`bcubed`, :func:`adjusted_rand_index`
+    and :func:`cluster_entropy_metrics`, and the classic coreference
+    metric: it counts the minimum LINK edits, so one wrong merge of
+    two big entities costs a single link (where pairwise F1 charges
+    the full quadratic cross-product). Its known blind spot —
+    singleton entities contribute nothing — is exactly why it ships
+    alongside B³ rather than instead of it.
+
+    For total partitions (every record in exactly one cluster on each
+    side, which connected-components output and the md5-text truth
+    both are), the textbook per-cluster sums collapse to contingency
+    counts: Σ_t (n_t − |partition(t)|) = N − nnz, where nnz is the
+    number of non-empty contingency cells, so
+      recall    = (N − nnz) / (N − K_truth)
+      precision = (N − nnz) / (N − K_pred)
+    (numerators identical by symmetry of nnz). One row: (n_records,
+    n_pred_clusters, n_truth_clusters, n_overlap_cells,
+    muc_precision, muc_recall, muc_f1). All-singleton sides make a
+    denominator 0 → that side is defined as 1.0 when its numerator is
+    also 0 (nothing to link, nothing wrong) — the scikit-style
+    convention, mirrored in the SQL oracle. One aggregate pass (the
+    multi-countDistinct Expand), no joins, no pairwise blowup."""
+    j = pred.select(F.col(id_col).alias("__id"), F.col(pred_col).alias("__c")).join(
+        truth.select(F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")),
+        "__id",
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("__c").cast("long").alias("n_pred_clusters"),
+        F.countDistinct("__t").cast("long").alias("n_truth_clusters"),
+        F.countDistinct("__c", "__t").cast("long").alias("n_overlap_cells"),
+    )
+    num = (F.col("n_records") - F.col("n_overlap_cells")).cast("double")
+    den_r = (F.col("n_records") - F.col("n_truth_clusters")).cast("double")
+    den_p = (F.col("n_records") - F.col("n_pred_clusters")).cast("double")
+    r = F.when(den_r > 0, num / den_r).otherwise(F.lit(1.0))
+    p = F.when(den_p > 0, num / den_p).otherwise(F.lit(1.0))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_records",
+        "n_pred_clusters",
+        "n_truth_clusters",
+        "n_overlap_cells",
+        F.round(p, 6).alias("muc_precision"),
+        F.round(r, 6).alias("muc_recall"),
+        F.round(f1, 6).alias("muc_f1"),
+    )

@@ -55,6 +55,7 @@ AUDITED = [
     "rl_fs_match_weights",
     "rl_soundex_keys",
     "rl_monge_elkan",
+    "rl_damerau",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
     "rl_rare_token_blocks",
