@@ -141,6 +141,7 @@ HEADLINE_QUERIES = [
     # their cost is the shared upstream clustering rerun, not the
     # metric itself.
     "rl_damerau",
+    "rl_qgram_blocks",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

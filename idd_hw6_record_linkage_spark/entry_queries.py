@@ -521,6 +521,65 @@ SELECT id, block_key, df FROM ranked WHERE rk <= 2
 """
 
 
+def rl_qgram_blocks(spark, sf_dir):
+    """Q-gram fuzzy blocking (operators.qgram_blocking): candidate
+    pairs sharing >= 2 distinct character trigrams of an ASCII-
+    sanitized 32-char key slice, hot grams (df > 64) dropped before
+    the self-join — the sub-word fuzzy pass next to rare-token
+    (word-level), soundex (word-head phonetic) and sorted-neighborhood
+    (order-preserving) blocking. The sanitize step keeps the basis
+    pure ASCII so char-indexed substring/length agree across engines
+    by construction. Fully native (sequence/transform/substring);
+    the df cap bounds per-gram join fan-out at C(64, 2)."""
+    from idd_hw6_record_linkage_spark.operators.qgram_blocking import (
+        qgram_candidates,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+            ),
+            1,
+            32,
+        ).alias("qkey"),
+    )
+    return qgram_candidates(
+        docs, "doc_id", "qkey", q=3, min_common=2, max_df=64
+    )
+
+
+SQL_RL_QGRAM_BLOCKS = """
+WITH d AS (
+  SELECT doc_id AS id,
+         coalesce(trim(substr(regexp_replace(lower(trim(text)),
+                                             '[^a-z0-9 ]', '', 'g'),
+                              1, 32)), '') AS s
+  FROM documents
+), g AS (
+  SELECT DISTINCT id, substr(s, CAST(i AS INTEGER), 3) AS gram
+  FROM d, unnest(generate_series(1, greatest(length(s) - 2, 0))) AS t(i)
+), freq AS (
+  SELECT gram, count(*) AS df FROM g GROUP BY 1
+), kept AS (
+  SELECT g.id, g.gram FROM g JOIN freq USING (gram) WHERE df <= 64
+), ng AS (
+  SELECT id, count(*) AS n_g FROM kept GROUP BY 1
+), p AS (
+  SELECT a.id AS id_l, b.id AS id_r,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.id_l, p.id_r, p.n_common,
+       CAST(round(p.n_common * 1.0 / least(l.n_g, r.n_g), 6) AS DOUBLE)
+         AS frac
+FROM p JOIN ng l ON p.id_l = l.id JOIN ng r ON p.id_r = r.id
+"""
+
+
 def rl_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (operators.sorted_neighborhood):
     records ordered globally by the first 24 chars of trimmed text
@@ -4556,6 +4615,7 @@ SELECT
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_damerau": rl_damerau,
+    "rl_qgram_blocks": rl_qgram_blocks,
     "rl_cluster_muc": rl_cluster_muc,
     "rl_cluster_ari": rl_cluster_ari,
     "rl_cluster_vmeasure": rl_cluster_vmeasure,
@@ -4658,6 +4718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "rl_damerau": SQL_RL_DAMERAU,
+    "rl_qgram_blocks": SQL_RL_QGRAM_BLOCKS,
     "rl_cluster_muc": SQL_RL_CLUSTER_MUC,
     "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
     "rl_cluster_vmeasure": SQL_RL_CLUSTER_VMEASURE,

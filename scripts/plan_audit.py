@@ -56,6 +56,7 @@ AUDITED = [
     "rl_soundex_keys",
     "rl_monge_elkan",
     "rl_damerau",
+    "rl_qgram_blocks",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
     "rl_rare_token_blocks",
@@ -71,6 +72,7 @@ AUDITED = [
     "rl_bcubed_eval",
     "rl_cluster_ari",
     "rl_cluster_vmeasure",
+    "rl_cluster_muc",
     "rl_score_ap",
     "rl_edge_triangles",
     "rl_clusters_bridge_safe",
