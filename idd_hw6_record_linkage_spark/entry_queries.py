@@ -370,6 +370,86 @@ FROM p
 """
 
 
+# Labeling-budget allocation per score band: everything near the
+# decision boundary (band 2 ≈ scores [0.4, 0.6)) is kept, confident
+# bands are thinned hard — the classic uncertainty-weighted labeling
+# sample a reviewer works through between active-learning rounds.
+_LABEL_BAND_RATES = {"0": 0.05, "1": 0.25, "2": 1.0, "3": 0.25, "4": 0.05}
+
+
+def rl_label_sample(spark, sf_dir):
+    """Stratified labeling sample over the scored candidate pairs:
+    band = floor(score·5) clamped to 4, each band thinned by a
+    deterministic md5-fate rate (operators.sampling.sample_corpus with
+    the band as the stratum column — the same engine-reproducible fate
+    machinery as corpus_sample, keyed on the pair id). Uncertain pairs
+    near the 0.5 threshold are all kept; confident pairs are thinned
+    20× — how a labeling budget is actually spent between
+    active-learning rounds. Deterministic, repartition-stable, and
+    value-exact: the oracle recomputes band, fate and rate from
+    scratch. Map-only on top of the pair-features join."""
+    from idd_hw6_record_linkage_spark.operators import sampling
+
+    scored = rl_pair_features(spark, sf_dir).select("id_l", "id_r", "score")
+    banded = scored.select(
+        "id_l",
+        "id_r",
+        "score",
+        F.least(F.floor(F.col("score") * 5), F.lit(4))
+        .cast("string")
+        .alias("band"),
+        F.concat(
+            F.col("id_l").cast("string"),
+            F.lit("|"),
+            F.col("id_r").cast("string"),
+        ).alias("pair_key"),
+    )
+    out = sampling.sample_corpus(
+        banded,
+        "pair_key",
+        _LABEL_BAND_RATES,
+        source_col="band",
+        default_rate=0.05,
+    )
+    return out.select(
+        "id_l",
+        "id_r",
+        "band",
+        "score",
+        F.round("sample_fate", 6).alias("sample_fate"),
+    )
+
+
+_SQL_PAIR_FATE = (
+    "('0x' || substr(md5(CAST(id_l AS VARCHAR) || '|' ||"
+    " CAST(id_r AS VARCHAR)), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+SQL_RL_LABEL_SAMPLE = f"""
+WITH scored AS ({{pair_features}}),
+banded AS (
+  SELECT id_l, id_r, score,
+         CAST(least(CAST(floor(score * 5) AS BIGINT), 4) AS VARCHAR)
+           AS band
+  FROM scored
+), fated AS (
+  SELECT id_l, id_r, score, band, {_SQL_PAIR_FATE} AS fate
+  FROM banded
+)
+SELECT id_l, id_r, band, score,
+       CAST(round(fate, 6) AS DOUBLE) AS sample_fate
+FROM fated
+WHERE fate < CASE band WHEN '2' THEN 1.0
+                       WHEN '1' THEN 0.25
+                       WHEN '3' THEN 0.25
+                       ELSE 0.05 END
+"""
+SQL_RL_LABEL_SAMPLE = SQL_RL_LABEL_SAMPLE.format(
+    pair_features=SQL_RL_PAIR_FEATURES
+)
+
+
 def rl_pair_token_sims(spark, sf_dir):
     """Token-SET similarity family over the candidate pairs: Dice,
     overlap coefficient, and set cosine (Ochiai) — the three standard
@@ -4616,6 +4696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_damerau": rl_damerau,
     "rl_qgram_blocks": rl_qgram_blocks,
+    "rl_label_sample": rl_label_sample,
     "rl_cluster_muc": rl_cluster_muc,
     "rl_cluster_ari": rl_cluster_ari,
     "rl_cluster_vmeasure": rl_cluster_vmeasure,
@@ -4719,6 +4800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "rl_damerau": SQL_RL_DAMERAU,
     "rl_qgram_blocks": SQL_RL_QGRAM_BLOCKS,
+    "rl_label_sample": SQL_RL_LABEL_SAMPLE,
     "rl_cluster_muc": SQL_RL_CLUSTER_MUC,
     "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
     "rl_cluster_vmeasure": SQL_RL_CLUSTER_VMEASURE,

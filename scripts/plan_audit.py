@@ -57,6 +57,7 @@ AUDITED = [
     "rl_monge_elkan",
     "rl_damerau",
     "rl_qgram_blocks",
+    "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
     "rl_rare_token_blocks",
