@@ -44,9 +44,13 @@ def _write_sequenced_source(spark, src):
         [_page("z.com", T(2024, 1, 1, 13, 1), "s2")],
     ]
     for rows in batches:
-        spark.createDataFrame(rows, _PAGES_DDL).write.mode("append").parquet(
-            src
-        )
+        # coalesce(1): one file per append — a multi-row batch split
+        # across part files shares an mtime, and the file source's
+        # tie-break can deliver the LATER event first, advancing the
+        # watermark past the earlier one (dropped pre-operator)
+        spark.createDataFrame(rows, _PAGES_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
         time.sleep(1.1)  # distinct mtimes => stable trigger order
 
 
@@ -121,9 +125,12 @@ def test_stateful_sessions_split_on_gap_within_stream(spark, tmp_path):
         [_page("z.com", T(2024, 1, 1, 15, 1), "s2")],
     ]
     for rows in batches:
-        spark.createDataFrame(rows, _PAGES_DDL).write.mode("append").parquet(
-            src
-        )
+        # coalesce(1): see _write_sequenced_source — without it the
+        # two-row batch can split into same-mtime part files and the
+        # 12:00 page can beat the 10:00 page through the watermark
+        spark.createDataFrame(rows, _PAGES_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
         time.sleep(1.1)
     stream = ingest.read_pages_stream(spark, src, max_files_per_trigger=1)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
