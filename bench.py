@@ -142,6 +142,8 @@ HEADLINE_QUERIES = [
     # metric itself.
     "rl_damerau",
     "rl_qgram_blocks",
+    "rl_suffix_blocks",
+    "rl_setsim_join",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

@@ -37,6 +37,8 @@ Operator coverage mapping (SURVEY §2):
 - Fellegi-Sunter EM linkage:         rl_fs_match_weights
 - sorted-neighborhood blocking:      rl_sorted_neighborhood
 - meta-blocking (CBS graph + WNP):   rl_meta_blocking
+- suffix-array blocking:             rl_suffix_blocks
+- exact Jaccard setsim join (PPJoin): rl_setsim_join
 - 1:1 mutual-best-match resolution:  rl_one_to_one_matches
 - survivorship / golden records:     rl_golden_records
 - blocking-scheme RR/PC bake-off:    rl_blocking_scheme_eval
@@ -657,6 +659,141 @@ SELECT p.id_l, p.id_r, p.n_common,
        CAST(round(p.n_common * 1.0 / least(l.n_g, r.n_g), 6) AS DOUBLE)
          AS frac
 FROM p JOIN ng l ON p.id_l = l.id JOIN ng r ON p.id_r = r.id
+"""
+
+
+def rl_suffix_blocks(spark, sf_dir):
+    """Suffix-array blocking (operators.suffix_blocking; Aizawa-Oyama):
+    candidate pairs sharing any suffix of length >= 16 of an ASCII-
+    sanitized 24-char key slice, suffixes with doc-frequency > 32
+    dropped before the self-join — the head-error-immune pass next to
+    q-gram (sub-word fuzzy), rare-token (word-level), soundex
+    (word-head phonetic) and sorted-neighborhood (order-preserving)
+    blocking. The sanitize step keeps the basis pure ASCII so
+    char-indexed substring/length agree across engines by
+    construction. Fully native (sequence/transform/substring); the df
+    cap bounds per-suffix join fan-out at C(32, 2)."""
+    from idd_hw6_record_linkage_spark.operators.suffix_blocking import (
+        suffix_candidates,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+            ),
+            1,
+            24,
+        ).alias("skey"),
+    )
+    return suffix_candidates(
+        docs, "doc_id", "skey", min_len=16, max_block_size=32
+    )
+
+
+SQL_RL_SUFFIX_BLOCKS = """
+WITH d AS (
+  SELECT doc_id AS id,
+         coalesce(trim(substr(regexp_replace(lower(trim(text)),
+                                             '[^a-z0-9 ]', '', 'g'),
+                              1, 24)), '') AS s
+  FROM documents
+), g AS (
+  SELECT id, substr(s, CAST(i AS INTEGER)) AS suffix
+  FROM d, unnest(generate_series(1, greatest(length(s) - 16 + 1, 0)))
+       AS t(i)
+), freq AS (
+  SELECT suffix, count(*) AS df FROM g GROUP BY 1
+), kept AS (
+  SELECT g.id, g.suffix FROM g JOIN freq USING (suffix) WHERE df <= 32
+)
+SELECT a.id AS id_l, b.id AS id_r,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(max(length(a.suffix)) AS INTEGER) AS max_suffix_len
+FROM kept a JOIN kept b ON a.suffix = b.suffix AND a.id < b.id
+GROUP BY 1, 2
+"""
+
+
+def rl_setsim_join(spark, sf_dir):
+    """Exact-threshold Jaccard set-similarity self-join via prefix
+    filtering (operators.setsim_join; SSJoin/PPJoin): all document
+    pairs whose token sets over an ASCII-sanitized 64-char slice have
+    jaccard >= 3/5 — the EXACT counterpart to dedup_minhash_lsh
+    (probabilistic) and dedup_ngram_jaccard (fixed-key blocked). The
+    threshold is the rational 3/5 and every pruning/verify comparison
+    is integer, so the pair set is value-exact across engines; the
+    oracle replicates the prefix filter itself (rarest-first global
+    token order, ceil via integer div), proving the pruned plan equals
+    the brute-force definition. Fully native (sort_array/slice/
+    array_intersect); prefix explode emits <= 0.4*n + 1 rows per
+    record at t=0.6."""
+    from idd_hw6_record_linkage_spark.operators.setsim_join import (
+        jaccard_setsim_join,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(
+            F.substring(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+                ),
+                1,
+                64,
+            ),
+            " ",
+        ).alias("toks"),
+    )
+    return jaccard_setsim_join(docs, "doc_id", "toks", 3, 5)
+
+
+SQL_RL_SETSIM_JOIN = """
+WITH d AS (
+  SELECT doc_id AS id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 64), '') AS s
+  FROM documents
+), tok AS (
+  SELECT DISTINCT id, t.token
+  FROM d, unnest(string_split(s, ' ')) AS t(token)
+  WHERE t.token <> ''
+), tf AS (
+  SELECT token, count(*) AS tdf FROM tok GROUP BY 1
+), nt AS (
+  SELECT id, count(*) AS n FROM tok GROUP BY 1
+), ord AS (
+  SELECT tok.id, tok.token,
+         row_number() OVER (PARTITION BY tok.id
+                            ORDER BY tf.tdf, tok.token) AS rn
+  FROM tok JOIN tf USING (token)
+), pref AS (
+  SELECT o.id, o.token
+  FROM ord o JOIN nt ON o.id = nt.id
+  WHERE o.rn <= nt.n - ((nt.n * 3 + 4) // 5) + 1
+), cand AS (
+  SELECT DISTINCT a.id AS id_l, b.id AS id_r
+  FROM pref a JOIN pref b USING (token) WHERE a.id < b.id
+), sized AS (
+  SELECT c.id_l, c.id_r, l.n AS n_l, r.n AS n_r
+  FROM cand c JOIN nt l ON c.id_l = l.id JOIN nt r ON c.id_r = r.id
+  WHERE greatest(l.n, r.n) * 3 <= least(l.n, r.n) * 5
+), com AS (
+  SELECT s.id_l, s.id_r, count(*) AS n_common
+  FROM sized s
+  JOIN tok a ON a.id = s.id_l
+  JOIN tok b ON b.id = s.id_r AND b.token = a.token
+  GROUP BY 1, 2
+)
+SELECT s.id_l, s.id_r,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(s.n_l + s.n_r - c.n_common AS BIGINT) AS n_union,
+       CAST(round(c.n_common * 1.0 / (s.n_l + s.n_r - c.n_common), 6)
+            AS DOUBLE) AS jac
+FROM com c JOIN sized s ON c.id_l = s.id_l AND c.id_r = s.id_r
+WHERE c.n_common * 5 >= (s.n_l + s.n_r - c.n_common) * 3
 """
 
 
@@ -4694,6 +4831,8 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_suffix_blocks": rl_suffix_blocks,
+    "rl_setsim_join": rl_setsim_join,
     "rl_damerau": rl_damerau,
     "rl_qgram_blocks": rl_qgram_blocks,
     "rl_label_sample": rl_label_sample,
@@ -4798,6 +4937,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
+    "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_damerau": SQL_RL_DAMERAU,
     "rl_qgram_blocks": SQL_RL_QGRAM_BLOCKS,
     "rl_label_sample": SQL_RL_LABEL_SAMPLE,

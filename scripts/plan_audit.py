@@ -57,6 +57,8 @@ AUDITED = [
     "rl_monge_elkan",
     "rl_damerau",
     "rl_qgram_blocks",
+    "rl_suffix_blocks",
+    "rl_setsim_join",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
