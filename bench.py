@@ -144,6 +144,7 @@ HEADLINE_QUERIES = [
     "rl_qgram_blocks",
     "rl_suffix_blocks",
     "rl_setsim_join",
+    "rl_qgram_cosine",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

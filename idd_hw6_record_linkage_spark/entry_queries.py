@@ -39,6 +39,7 @@ Operator coverage mapping (SURVEY §2):
 - meta-blocking (CBS graph + WNP):   rl_meta_blocking
 - suffix-array blocking:             rl_suffix_blocks
 - exact Jaccard setsim join (PPJoin): rl_setsim_join
+- q-gram count-vector cosine:        rl_qgram_cosine
 - 1:1 mutual-best-match resolution:  rl_one_to_one_matches
 - survivorship / golden records:     rl_golden_records
 - blocking-scheme RR/PC bake-off:    rl_blocking_scheme_eval
@@ -517,6 +518,80 @@ FROM s
 """
 
 
+def rl_qgram_cosine(spark, sf_dir):
+    """Char q-gram count-vector cosine (operators.gram_cosine; the
+    recordlinkage library's qgram/cosine string methods) over the
+    block-join candidate pairs, on an ASCII-sanitized 32-char key
+    slice — the char-level graded complement to the token-level
+    pair_tfidf_cosine and the q-gram Jaccard blocking pass. Counts,
+    dot products and squared norms are all integers; the single final
+    sqrt/division/round is the only float op, so the column is
+    value-exact across engines. Sparse relational (explode → counts →
+    pair⋈gram join), zero UDF."""
+    from idd_hw6_record_linkage_spark.operators.gram_cosine import (
+        qgram_cosine_for_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+            ),
+            1,
+            32,
+        ).alias("qkey"),
+        _block_key().alias("block_key"),
+    )
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_l"), "block_key")
+        .join(
+            docs.select(F.col("doc_id").alias("id_r"), "block_key"),
+            "block_key",
+        )
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+    )
+    return qgram_cosine_for_pairs(docs, pairs, "doc_id", "qkey", q=3)
+
+
+SQL_RL_QGRAM_COSINE = f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         coalesce(trim(substr(regexp_replace(lower(trim(text)),
+                                             '[^a-z0-9 ]', '', 'g'),
+                              1, 32)), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.id AS id_l, b.id AS id_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.id < b.id
+), g AS (
+  SELECT id, substr(s, CAST(i AS INTEGER), 3) AS gram,
+         count(*) AS cnt
+  FROM d, unnest(generate_series(1, greatest(length(s) - 2, 0))) AS t(i)
+  GROUP BY 1, 2
+), n2 AS (
+  SELECT id, sum(cnt * cnt) AS norm2 FROM g GROUP BY 1
+), dt AS (
+  SELECT p.id_l, p.id_r, sum(a.cnt * b.cnt) AS dot
+  FROM p
+  JOIN g a ON a.id = p.id_l
+  JOIN g b ON b.id = p.id_r AND b.gram = a.gram
+  GROUP BY 1, 2
+)
+SELECT p.id_l, p.id_r,
+       CAST(CASE WHEN dt.dot IS NULL THEN 0.0
+                 ELSE round(dt.dot / sqrt(CAST(l.norm2 * r.norm2
+                                               AS DOUBLE)), 6)
+            END AS DOUBLE) AS qgram_cosine
+FROM p
+LEFT JOIN dt ON dt.id_l = p.id_l AND dt.id_r = p.id_r
+LEFT JOIN n2 l ON l.id = p.id_l
+LEFT JOIN n2 r ON r.id = p.id_r
+"""
+
+
 def rl_gamma_patterns(spark, sf_dir):
     """Fellegi-Sunter agreement-pattern (gamma-vector) frequency
     profile: how many candidate pairs exhibit each of the 2^k
@@ -722,29 +797,53 @@ def rl_setsim_join(spark, sf_dir):
     pairs whose token sets over an ASCII-sanitized 64-char slice have
     jaccard >= 3/5 — the EXACT counterpart to dedup_minhash_lsh
     (probabilistic) and dedup_ngram_jaccard (fixed-key blocked). The
-    threshold is the rational 3/5 and every pruning/verify comparison
-    is integer, so the pair set is value-exact across engines; the
-    oracle replicates the prefix filter itself (rarest-first global
-    token order, ceil via integer div), proving the pruned plan equals
-    the brute-force definition. Fully native (sort_array/slice/
-    array_intersect); prefix explode emits <= 0.4*n + 1 rows per
-    record at t=0.6."""
+    set elements are word-BIGRAM shingles, not raw words: the
+    synthetic corpus draws from a ~125-word vocabulary, so every
+    unigram is hot (df ≈ |corpus|/100) and the prefix filter cannot
+    prune; shingling restores selectivity (the standard near-dup move
+    — MinHash pipelines shingle for the same reason) and cuts the
+    candidate join ~30× here. The threshold is the rational 3/5 and
+    every pruning/verify comparison is integer, so the pair set is
+    value-exact across engines; the oracle replicates the prefix
+    filter itself (rarest-first global token order, ceil via integer
+    div), proving the pruned plan equals the brute-force definition.
+    Fully native (sort_array/slice/array_intersect); prefix explode
+    emits <= 0.4*n + 1 rows per record at t=0.6."""
     from idd_hw6_record_linkage_spark.operators.setsim_join import (
         jaccard_setsim_join,
     )
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.split(
-            F.substring(
-                F.regexp_replace(
-                    F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+    docs = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(
+                    F.substring(
+                        F.regexp_replace(
+                            F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+                        ),
+                        1,
+                        64,
+                    ),
+                    " ",
                 ),
-                1,
-                64,
-            ),
-            " ",
-        ).alias("toks"),
+                lambda t: t != "",
+            ).alias("__w"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.size("__w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1),"
+                    " i -> concat(element_at(__w, i), ' ',"
+                    " element_at(__w, i + 1)))"
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("toks"),
+        )
     )
     return jaccard_setsim_join(docs, "doc_id", "toks", 3, 5)
 
@@ -752,14 +851,16 @@ def rl_setsim_join(spark, sf_dir):
 SQL_RL_SETSIM_JOIN = """
 WITH d AS (
   SELECT doc_id AS id,
-         coalesce(substr(regexp_replace(lower(trim(text)),
-                                        '[^a-z0-9 ]', '', 'g'),
-                         1, 64), '') AS s
+         list_filter(string_split(
+           coalesce(substr(regexp_replace(lower(trim(text)),
+                                          '[^a-z0-9 ]', '', 'g'),
+                           1, 64), ''), ' '), x -> x <> '') AS w
   FROM documents
 ), tok AS (
   SELECT DISTINCT id, t.token
-  FROM d, unnest(string_split(s, ' ')) AS t(token)
-  WHERE t.token <> ''
+  FROM d, unnest(list_transform(generate_series(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i + 1]))
+            AS t(token)
 ), tf AS (
   SELECT token, count(*) AS tdf FROM tok GROUP BY 1
 ), nt AS (
@@ -4833,6 +4934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
+    "rl_qgram_cosine": rl_qgram_cosine,
     "rl_damerau": rl_damerau,
     "rl_qgram_blocks": rl_qgram_blocks,
     "rl_label_sample": rl_label_sample,
@@ -4939,6 +5041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
+    "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,
     "rl_damerau": SQL_RL_DAMERAU,
     "rl_qgram_blocks": SQL_RL_QGRAM_BLOCKS,
     "rl_label_sample": SQL_RL_LABEL_SAMPLE,

@@ -15,9 +15,15 @@ must share a token within each one's first ``n - ceil(t*n) + 1``
 tokens (the *prefix*) — so candidates come from an equi-join on
 exploded prefix tokens only, and a frequent token (which would fan
 out the join) only enters a prefix when a record has almost nothing
-rarer, which is exactly when it is informative. A length filter
-(``num*max(|L|,|R|) <= den*min(|L|,|R|)``) prunes before
-verification; survivors are verified with the exact Jaccard.
+rarer, which is exactly when it is informative. Two further
+exactness-preserving prunes run before verification: a length filter
+(``num*max(|L|,|R|) <= den*min(|L|,|R|)``), and PPJoin's positional
+filter — both sides are sorted by the SAME global canon, so the
+canon-minimal shared token sits at the minimum matched position in
+BOTH prefixes, no common token can precede it, and the overlap is
+bounded by ``1 + min(|L|-p_L, |R|-p_R)``; pairs whose bound can't
+reach the required overlap ``t/(1+t)·(|L|+|R|)`` drop. Survivors are
+verified with the exact Jaccard.
 
 Numeric discipline: the threshold is a RATIONAL ``num/den`` and every
 comparison is integer (``ceil(n*num/den)`` = ``(n*num + den - 1) div
@@ -89,35 +95,82 @@ def jaccard_setsim_join(
         + 1
     ).cast("int")
     pref = ordered.select(
-        "id", F.explode(F.slice("toks", F.lit(1), pref_len)).alias("token")
+        "id",
+        "n",
+        F.posexplode(F.slice("toks", F.lit(1), pref_len)).alias(
+            "pos", "token"
+        ),
+    ).select("id", "n", (F.col("pos") + 1).alias("rn"), "token")
+    # min matched positions: the canon-minimal shared token minimizes
+    # rn on BOTH sides simultaneously (same token, same global order),
+    # so (p_l, p_r) is a single token's position pair and the
+    # positional overlap bound below is sound. Both the length filter
+    # and the positional filter run on this slim (ids, sizes,
+    # positions) aggregate — BEFORE the token arrays are joined back,
+    # so pruned pairs never ship their payloads through the verify
+    # join (the point of PPJoin's filter ordering).
+    required_overlap = F.floor(
+        (
+            (F.col("n_l") + F.col("n_r")) * threshold_num
+            + (threshold_num + threshold_den)
+            - 1
+        )
+        / (threshold_num + threshold_den)
     )
     cand = (
-        pref.select(F.col("id").alias("id_l"), "token")
-        .join(pref.select(F.col("id").alias("id_r"), "token"), "token")
+        pref.select(
+            F.col("id").alias("id_l"),
+            F.col("n").alias("n_l"),
+            F.col("rn").alias("rn_l"),
+            "token",
+        )
+        .join(
+            pref.select(
+                F.col("id").alias("id_r"),
+                F.col("n").alias("n_r"),
+                F.col("rn").alias("rn_r"),
+                "token",
+            ),
+            "token",
+        )
         .where(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
-        .distinct()
+        .groupBy("id_l", "id_r")
+        .agg(
+            F.first("n_l").alias("n_l"),
+            F.first("n_r").alias("n_r"),
+            F.min("rn_l").alias("p_l"),
+            F.min("rn_r").alias("p_r"),
+        )
+        # length filter: num*max <= den*min, else jaccard < num/den
+        .where(
+            F.greatest("n_l", "n_r") * threshold_num
+            <= F.least("n_l", "n_r") * threshold_den
+        )
+        # positional filter: overlap <= 1 + min(n_l - p_l, n_r - p_r);
+        # jaccard >= num/den needs overlap >= ceil(num*(n_l+n_r) /
+        # (num+den)) — all integer, so the prune is exact.
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("n_l") - F.col("p_l"), F.col("n_r") - F.col("p_r")
+            )
+            >= required_overlap
+        )
+        .drop("p_l", "p_r")
     )
     lhs = ordered.select(
         F.col("id").alias("id_l"),
         F.col("toks").alias("toks_l"),
-        F.col("n").alias("n_l"),
     )
     rhs = ordered.select(
         F.col("id").alias("id_r"),
         F.col("toks").alias("toks_r"),
-        F.col("n").alias("n_r"),
     )
     inter = F.size(F.array_intersect("toks_l", "toks_r"))
     union = F.col("n_l") + F.col("n_r") - F.col("n_common")
     return (
         cand.join(lhs, "id_l")
         .join(rhs, "id_r")
-        # length filter: num*max <= den*min, else jaccard < num/den
-        .where(
-            F.greatest("n_l", "n_r") * threshold_num
-            <= F.least("n_l", "n_r") * threshold_den
-        )
         .withColumn("n_common", inter.cast("long"))
         .withColumn("n_union", union.cast("long"))
         .where(

@@ -59,6 +59,7 @@ AUDITED = [
     "rl_qgram_blocks",
     "rl_suffix_blocks",
     "rl_setsim_join",
+    "rl_qgram_cosine",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
