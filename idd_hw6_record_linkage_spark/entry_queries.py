@@ -592,6 +592,170 @@ LEFT JOIN n2 r ON r.id = p.id_r
 """
 
 
+def rl_nw_unit(spark, sf_dir):
+    """Needleman-Wunsch global alignment (functions.needleman — the
+    batch-vectorized Arrow DP kernel) at the UNIT-COST point (match 0,
+    mismatch −1, gap −1), where the NW objective collapses to
+    −(substitutions + indels) and the negated corner score IS the
+    Levenshtein distance: the contract pins the whole global-alignment
+    DP — borders, diagonal/up recurrences and the left-gap collapse —
+    value-exactly against DuckDB's native ``levenshtein``, not just an
+    invariant of it (the general-parameter similarity form is covered
+    by pytest parity against the scalar DP). Keys are ASCII-sanitized
+    40-char slices so DuckDB's byte basis and the kernel's char basis
+    coincide; slicing happens BEFORE the pair join (same O(L1·L2)
+    discipline as rl_damerau). Only the integer distance crosses the
+    Arrow boundary; the similarity normalization is native."""
+    from idd_hw6_record_linkage_spark.functions.needleman import (
+        nw_unit_distance,
+    )
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(s, F.lit("")).alias("s"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("s").alias("s_r"), "block_key"
+    )
+    denom = F.greatest(F.length("s_l"), F.length("s_r"), F.lit(1))
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .withColumn("nw_dist", nw_unit_distance("s_l", "s_r"))
+        .select(
+            "id_l",
+            "id_r",
+            "nw_dist",
+            F.round(F.lit(1.0) - F.col("nw_dist") / denom, 6).alias(
+                "nw_sim"
+            ),
+        )
+    )
+
+
+SQL_RL_NW_UNIT = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.s AS s_l, b.s AS s_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT id_l, id_r,
+  CAST(levenshtein(s_l, s_r) AS BIGINT) AS nw_dist,
+  CAST(round(1.0 - levenshtein(s_l, s_r)
+             / greatest(length(s_l), length(s_r), 1), 6) AS DOUBLE)
+    AS nw_sim
+FROM p
+"""
+
+
+def rl_bag_distance(spark, sf_dir):
+    """Bag distance (functions.bag — Bartolini et al.'s multiset lower
+    bound on edit distance) over within-block candidate pairs, next to
+    the Levenshtein it bounds and a per-row ``bound_ok`` flag
+    (bag ≤ lev, the theorem that makes bag a sound filter-and-verify
+    prune before the O(L1·L2) Arrow comparators). Pure native
+    higher-order-function arithmetic — zero Python, zero floats except
+    the final normalized similarity — so every column including the
+    flag is value-exact against the multiset algebra replicated in
+    DuckDB list functions. ASCII-sanitized 40-char slices keep the
+    char/byte bases identical across engines."""
+    from idd_hw6_record_linkage_spark.functions.bag import bag_distance
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(s, F.lit("")).alias("s"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("s").alias("s_r"), "block_key"
+    )
+    denom = F.greatest(F.length("s_l"), F.length("s_r"), F.lit(1))
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .withColumn("bag_dist", bag_distance("s_l", "s_r"))
+        .withColumn(
+            "lev_dist", F.levenshtein("s_l", "s_r").cast("long")
+        )
+        .select(
+            "id_l",
+            "id_r",
+            "bag_dist",
+            "lev_dist",
+            (F.col("bag_dist") <= F.col("lev_dist")).alias("bound_ok"),
+            F.round(F.lit(1.0) - F.col("bag_dist") / denom, 6).alias(
+                "bag_sim"
+            ),
+        )
+    )
+
+
+SQL_RL_BAG_DISTANCE = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.s AS s_l, b.s AS s_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+), c AS (
+  SELECT id_l, id_r, s_l, s_r,
+         list_transform(generate_series(1, greatest(length(s_l), 0)),
+                        i -> substr(s_l, CAST(i AS INTEGER), 1)) AS ca,
+         list_transform(generate_series(1, greatest(length(s_r), 0)),
+                        i -> substr(s_r, CAST(i AS INTEGER), 1)) AS cb
+  FROM p
+), b AS (
+  SELECT id_l, id_r, s_l, s_r,
+         greatest(
+           coalesce(list_sum(list_transform(
+             list_distinct(list_concat(ca, cb)),
+             c -> greatest(len(list_filter(ca, x -> x = c))
+                           - len(list_filter(cb, x -> x = c)), 0))), 0),
+           coalesce(list_sum(list_transform(
+             list_distinct(list_concat(ca, cb)),
+             c -> greatest(len(list_filter(cb, x -> x = c))
+                           - len(list_filter(ca, x -> x = c)), 0))), 0)
+         ) AS bag_dist
+  FROM c
+)
+SELECT id_l, id_r,
+  CAST(bag_dist AS BIGINT) AS bag_dist,
+  CAST(levenshtein(s_l, s_r) AS BIGINT) AS lev_dist,
+  bag_dist <= levenshtein(s_l, s_r) AS bound_ok,
+  CAST(round(1.0 - bag_dist
+             / greatest(length(s_l), length(s_r), 1), 6) AS DOUBLE)
+    AS bag_sim
+FROM b
+"""
+
+
 def rl_gamma_patterns(spark, sf_dir):
     """Fellegi-Sunter agreement-pattern (gamma-vector) frequency
     profile: how many candidate pairs exhibit each of the 2^k
@@ -4935,6 +5099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
     "rl_qgram_cosine": rl_qgram_cosine,
+    "rl_nw_unit": rl_nw_unit,
+    "rl_bag_distance": rl_bag_distance,
     "rl_damerau": rl_damerau,
     "rl_qgram_blocks": rl_qgram_blocks,
     "rl_label_sample": rl_label_sample,
@@ -5042,6 +5208,8 @@ ORACLES: dict[str, str] = {
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,
+    "rl_nw_unit": SQL_RL_NW_UNIT,
+    "rl_bag_distance": SQL_RL_BAG_DISTANCE,
     "rl_damerau": SQL_RL_DAMERAU,
     "rl_qgram_blocks": SQL_RL_QGRAM_BLOCKS,
     "rl_label_sample": SQL_RL_LABEL_SAMPLE,
