@@ -145,6 +145,12 @@ HEADLINE_QUERIES = [
     "rl_suffix_blocks",
     "rl_setsim_join",
     "rl_qgram_cosine",
+    # closing alignment/bound comparators: NW global alignment (Arrow
+    # batch DP), bag-distance prune (pure Catalyst), DuckDB-convention
+    # Jaro/JW twin (pins the shared production kernel)
+    "rl_nw_unit",
+    "rl_bag_distance",
+    "rl_jaro_duck",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

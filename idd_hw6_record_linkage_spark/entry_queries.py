@@ -592,6 +592,76 @@ LEFT JOIN n2 r ON r.id = p.id_r
 """
 
 
+def rl_jaro_duck(spark, sf_dir):
+    """Jaro + Jaro-Winkler over within-block candidate pairs in the
+    DuckDB/strcmp95 transposition convention (functions.similarity
+    ``int_trans=True``: t = diffs // 2 instead of jellyfish's
+    diffs / 2, '' vs '' → 0.0) — pinning the ENTIRE vectorized Arrow
+    kernel (batch encode, windowed greedy matching, left-pack
+    transposition count, Winkler boost) value-exactly against DuckDB's
+    native ``jaro_similarity`` / ``jaro_winkler_similarity``, where the
+    production C1/C2 jellyfish-convention UDFs are covered by scalar
+    parity pytest only (no SQL engine ships that variant). The two
+    conventions share every line of the kernel except the final
+    halving, so this contract row regression-guards the production
+    comparators too. ASCII-sanitized 40-char slices keep DuckDB's byte
+    basis and the kernel's codepoint basis identical; slicing happens
+    BEFORE the pair join."""
+    from idd_hw6_record_linkage_spark.functions.similarity import (
+        sim_jaro_rf,
+        sim_jaro_winkler_rf,
+    )
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(s, F.lit("")).alias("s"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("s").alias("s_r"), "block_key"
+    )
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            F.round(sim_jaro_rf("s_l", "s_r"), 6).alias("jaro"),
+            F.round(sim_jaro_winkler_rf("s_l", "s_r"), 6).alias(
+                "jaro_winkler"
+            ),
+        )
+    )
+
+
+SQL_RL_JARO_DUCK = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.s AS s_l, b.s AS s_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT id_l, id_r,
+  CAST(round(jaro_similarity(s_l, s_r), 6) AS DOUBLE) AS jaro,
+  CAST(round(jaro_winkler_similarity(s_l, s_r), 6) AS DOUBLE)
+    AS jaro_winkler
+FROM p
+"""
+
+
 def rl_nw_unit(spark, sf_dir):
     """Needleman-Wunsch global alignment (functions.needleman — the
     batch-vectorized Arrow DP kernel) at the UNIT-COST point (match 0,
@@ -5099,6 +5169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
     "rl_qgram_cosine": rl_qgram_cosine,
+    "rl_jaro_duck": rl_jaro_duck,
     "rl_nw_unit": rl_nw_unit,
     "rl_bag_distance": rl_bag_distance,
     "rl_damerau": rl_damerau,
@@ -5208,6 +5279,7 @@ ORACLES: dict[str, str] = {
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,
+    "rl_jaro_duck": SQL_RL_JARO_DUCK,
     "rl_nw_unit": SQL_RL_NW_UNIT,
     "rl_bag_distance": SQL_RL_BAG_DISTANCE,
     "rl_damerau": SQL_RL_DAMERAU,

@@ -117,8 +117,19 @@ def thresholded(sim: Column, threshold: float) -> Column:
 #    per pair (~25 µs/pair scalar → ~1-3 µs/pair vectorized).
 
 
-def _jaro(s1: str, s2: str) -> float:
-    """Standard Jaro similarity (jellyfish-compatible), scalar."""
+def _jaro(s1: str, s2: str, int_trans: bool = False) -> float:
+    """Standard Jaro similarity (jellyfish-compatible), scalar.
+
+    ``int_trans=True`` switches the transposition term from the
+    jellyfish convention t = diffs/2 (half-transpositions count) to the
+    strcmp95/rapidfuzz convention t = diffs // 2 (INTEGER halving) that
+    DuckDB's ``jaro_similarity`` implements — the single point where
+    the two published variants disagree (empirically verified: 0
+    mismatches over 5.5k random + adversarial pairs incl. >64-char
+    strings once this flag and the ''-vs-'' convention are set; the
+    greedy window matching itself is identical). Production scoring
+    keeps the jellyfish default for reference parity; the DuckDB mode
+    exists so the contract can pin the WHOLE kernel value-exactly."""
     if s1 == s2:
         return 1.0
     len1, len2 = len(s1), len(s2)
@@ -150,15 +161,21 @@ def _jaro(s1: str, s2: str) -> float:
             if s1[i] != s2[k]:
                 transpositions += 1
             k += 1
-    t = transpositions / 2
+    t = transpositions // 2 if int_trans else transpositions / 2
     m = matches
     return (m / len1 + m / len2 + (m - t) / m) / 3
 
 
-def _jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+def _jaro_winkler(
+    s1: str,
+    s2: str,
+    prefix_weight: float = 0.1,
+    int_trans: bool = False,
+) -> float:
     """Jaro-Winkler with the standard 0.7 boost threshold and 4-char
-    prefix cap (jellyfish-compatible, cf. SURVEY §7 risk 5)."""
-    j = _jaro(s1, s2)
+    prefix cap (jellyfish-compatible, cf. SURVEY §7 risk 5).
+    ``int_trans``: see `_jaro` — DuckDB-parity transposition halving."""
+    j = _jaro(s1, s2, int_trans=int_trans)
     if j > 0.7:
         prefix = 0
         for a, b in zip(s1[:4], s2[:4]):
@@ -191,7 +208,12 @@ def _encode_batch(strs: list[str], lens: "np.ndarray", width: int) -> "np.ndarra
     return mat
 
 
-def _jaro_kernel(a_strs: list, b_strs: list, winkler: bool) -> "np.ndarray":
+def _jaro_kernel(
+    a_strs: list,
+    b_strs: list,
+    winkler: bool,
+    int_trans: bool = False,
+) -> "np.ndarray":
     """Vectorized Jaro/JW over non-null, non-equal, non-empty string
     lists with len ≤ _VEC_MAX_LEN. Bandwidth-conscious:
 
@@ -263,7 +285,7 @@ def _jaro_kernel(a_strs: list, b_strs: list, winkler: bool) -> "np.ndarray":
         trans = ((seq1 != seq2) & (np.arange(K) < matches[:, None])).sum(axis=1)
 
     mm = matches.astype(np.float64)
-    t = trans / 2.0
+    t = (trans // 2).astype(np.float64) if int_trans else trans / 2.0
     with np.errstate(divide="ignore", invalid="ignore"):
         jaro = (mm / l1 + mm / l2 + (mm - t) / mm) / 3.0
     jaro[matches == 0] = 0.0
@@ -285,7 +307,12 @@ def _jaro_kernel(a_strs: list, b_strs: list, winkler: bool) -> "np.ndarray":
     return out
 
 
-def _jaro_batch(s1_list: list, s2_list: list, winkler: bool) -> "np.ndarray":
+def _jaro_batch(
+    s1_list: list,
+    s2_list: list,
+    winkler: bool,
+    int_trans: bool = False,
+) -> "np.ndarray":
     """Vectorized Jaro / Jaro-Winkler over parallel string lists.
 
     Bit-identical to `_jaro`/`_jaro_winkler` (same greedy first-unmatched
@@ -327,14 +354,20 @@ def _jaro_batch(s1_list: list, s2_list: list, winkler: bool) -> "np.ndarray":
         a, b = uniq_a[j], uniq_b[j]
         if a is None or b is None:
             continue  # missing → 0.0
+        la, lb = len(a), len(b)
+        if int_trans and (la == 0 or lb == 0):
+            continue  # DuckDB convention: ANY empty side → 0.0, '' == ''
         if a == b:
             res[j] = 1.0  # scalar equality shortcut (incl. "" == "")
             continue
-        la, lb = len(a), len(b)
         if la == 0 or lb == 0:
             continue  # one-sided empty → 0.0
         if la > _VEC_MAX_LEN or lb > _VEC_MAX_LEN:
-            res[j] = _jaro_winkler(a, b) if winkler else _jaro(a, b)
+            res[j] = (
+                _jaro_winkler(a, b, int_trans=int_trans)
+                if winkler
+                else _jaro(a, b, int_trans=int_trans)
+            )
             continue
         kern_idx.append(j)
 
@@ -344,6 +377,7 @@ def _jaro_batch(s1_list: list, s2_list: list, winkler: bool) -> "np.ndarray":
             [uniq_a[j] for j in kern_idx],
             [uniq_b[j] for j in kern_idx],
             winkler,
+            int_trans=int_trans,
         )
     return res[inv]
 
@@ -383,9 +417,36 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+@pandas_udf(DoubleType())
+def jaro_rf_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Jaro in the strcmp95/rapidfuzz transposition convention
+    (t = diffs // 2, '' vs '' → 0.0) — the variant DuckDB's
+    ``jaro_similarity`` implements, so this column is value-exact
+    against it (see `_jaro`). Same vectorized batch kernel."""
+    out = _jaro_batch(s1.tolist(), s2.tolist(), winkler=False, int_trans=True)
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_rf_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Jaro-Winkler in the DuckDB/rapidfuzz convention (integer
+    transposition halving, standard 0.7 boost / 0.1 weight / 4-char
+    prefix) — value-exact vs ``jaro_winkler_similarity``."""
+    out = _jaro_batch(s1.tolist(), s2.tolist(), winkler=True, int_trans=True)
+    return pd.Series(out, dtype="float64")
+
+
 def sim_jaro(l: Column | str, r: Column | str) -> Column:  # noqa: E741
     return jaro_udf(_c(l), _c(r))
 
 
 def sim_jaro_winkler(l: Column | str, r: Column | str) -> Column:  # noqa: E741
     return jaro_winkler_udf(_c(l), _c(r))
+
+
+def sim_jaro_rf(l: Column | str, r: Column | str) -> Column:  # noqa: E741
+    return jaro_rf_udf(_c(l), _c(r))
+
+
+def sim_jaro_winkler_rf(l: Column | str, r: Column | str) -> Column:  # noqa: E741
+    return jaro_winkler_rf_udf(_c(l), _c(r))

@@ -60,6 +60,9 @@ AUDITED = [
     "rl_suffix_blocks",
     "rl_setsim_join",
     "rl_qgram_cosine",
+    "rl_nw_unit",
+    "rl_bag_distance",
+    "rl_jaro_duck",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
