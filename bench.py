@@ -151,6 +151,9 @@ HEADLINE_QUERIES = [
     "rl_nw_unit",
     "rl_bag_distance",
     "rl_jaro_duck",
+    # PassJoin exact edit-distance self-join: whole-corpus lev<=2
+    # pairs with no blocking key and no cross product
+    "rl_edit_join",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

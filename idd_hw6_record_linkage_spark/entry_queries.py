@@ -592,6 +592,55 @@ LEFT JOIN n2 r ON r.id = p.id_r
 """
 
 
+def rl_edit_join(spark, sf_dir):
+    """Exact edit-distance similarity self-join (operators/edit_join —
+    PassJoin, Li et al. VLDB'12): ALL pairs with levenshtein ≤ 2 over
+    the whole corpus, NO blocking key and NO cross product — segment
+    pigeonhole explode → ONE composite-key hash join → native verify.
+    The oracle is deliberately the brute-force all-pairs join: a
+    value-exact match proves the pruning has zero false negatives
+    (completeness) and the verify zero false positives, at every scale
+    factor. Keys are ASCII-sanitized 40-char slices (byte/char bases
+    coincide); keys shorter than d+1 are out of contract on BOTH
+    sides."""
+    from idd_hw6_record_linkage_spark.operators.edit_join import (
+        edit_distance_self_join,
+    )
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(s, F.lit("")).alias("s")
+    )
+    return edit_distance_self_join(docs, "doc_id", "s", d=2).select(
+        F.col("id_l").alias("id_l"),
+        F.col("id_r").alias("id_r"),
+        "lev",
+    )
+
+
+SQL_RL_EDIT_JOIN = """
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s
+  FROM documents
+), f AS (
+  SELECT * FROM d WHERE length(s) >= 3
+)
+SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev
+FROM f a JOIN f b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.s) - length(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
 def rl_jaro_duck(spark, sf_dir):
     """Jaro + Jaro-Winkler over within-block candidate pairs in the
     DuckDB/strcmp95 transposition convention (functions.similarity
@@ -5169,6 +5218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
     "rl_qgram_cosine": rl_qgram_cosine,
+    "rl_edit_join": rl_edit_join,
     "rl_jaro_duck": rl_jaro_duck,
     "rl_nw_unit": rl_nw_unit,
     "rl_bag_distance": rl_bag_distance,
@@ -5279,6 +5329,7 @@ ORACLES: dict[str, str] = {
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,
+    "rl_edit_join": SQL_RL_EDIT_JOIN,
     "rl_jaro_duck": SQL_RL_JARO_DUCK,
     "rl_nw_unit": SQL_RL_NW_UNIT,
     "rl_bag_distance": SQL_RL_BAG_DISTANCE,

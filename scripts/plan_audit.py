@@ -63,6 +63,7 @@ AUDITED = [
     "rl_nw_unit",
     "rl_bag_distance",
     "rl_jaro_duck",
+    "rl_edit_join",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
