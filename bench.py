@@ -154,6 +154,8 @@ HEADLINE_QUERIES = [
     # PassJoin exact edit-distance self-join: whole-corpus lev<=2
     # pairs with no blocking key and no cross product
     "rl_edit_join",
+    # IDF-weighted Jaccard: integer micro-weight relational plan
+    "rl_weighted_jaccard",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

@@ -592,6 +592,92 @@ LEFT JOIN n2 r ON r.id = p.id_r
 """
 
 
+def rl_weighted_jaccard(spark, sf_dir):
+    """IDF-weighted Jaccard (operators/weighted_jaccard —
+    Chaudhuri-Ganti-Kaushik's weighted set similarity: rare-token
+    agreement dominates) over within-block candidate pairs, beside the
+    unweighted Jaccard it generalizes. Integer micro-weights
+    (round(ln(N/df)·1e6) as BIGINT at the single float crossing) make
+    every sum 64-bit integer arithmetic, so the column is value-exact
+    across engines by construction — no float-summation-order risk.
+    Token basis: distinct whitespace words of the ASCII-sanitized
+    40-char slice."""
+    from idd_hw6_record_linkage_spark.operators.weighted_jaccard import (
+        weighted_jaccard_for_pairs,
+    )
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(s, F.lit("")).alias("s"),
+        _block_key().alias("block_key"),
+    )
+    n_docs = docs.count()
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_l"), "block_key")
+        .join(
+            docs.select(F.col("doc_id").alias("id_r"), "block_key"),
+            "block_key",
+        )
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+    )
+    return weighted_jaccard_for_pairs(
+        docs, pairs, "doc_id", "s", n_docs=n_docs
+    ).select("id_l", "id_r", "w_jaccard")
+
+
+SQL_RL_WEIGHTED_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+), tk AS (
+  SELECT DISTINCT doc_id AS id, t.token
+  FROM d, unnest(string_split(s, ' ')) AS t(token)
+  WHERE t.token <> ''
+), w AS (
+  SELECT token,
+         CAST(round(ln(CAST((SELECT count(*) FROM d) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS w
+  FROM tk GROUP BY token
+), tw AS (
+  SELECT tk.id, tk.token, w.w FROM tk JOIN w USING (token)
+), sums AS (
+  SELECT id, sum(w) AS wsum FROM tw GROUP BY id
+), inter AS (
+  SELECT p.id_l, p.id_r, sum(a.w) AS inter_w
+  FROM p
+  JOIN tw a ON a.id = p.id_l
+  JOIN tw b ON b.id = p.id_r AND b.token = a.token
+  GROUP BY 1, 2
+)
+SELECT p.id_l, p.id_r,
+  CAST(CASE WHEN inter.inter_w IS NOT NULL
+             AND coalesce(l.wsum, 0) + coalesce(r.wsum, 0)
+                 - coalesce(inter.inter_w, 0) > 0
+            THEN round(CAST(inter.inter_w AS DOUBLE)
+                       / CAST(coalesce(l.wsum, 0) + coalesce(r.wsum, 0)
+                              - coalesce(inter.inter_w, 0) AS DOUBLE), 6)
+            ELSE 0.0 END AS DOUBLE) AS w_jaccard
+FROM p
+LEFT JOIN inter ON inter.id_l = p.id_l AND inter.id_r = p.id_r
+LEFT JOIN sums l ON l.id = p.id_l
+LEFT JOIN sums r ON r.id = p.id_r
+"""
+
+
 def rl_edit_join(spark, sf_dir):
     """Exact edit-distance similarity self-join (operators/edit_join —
     PassJoin, Li et al. VLDB'12): ALL pairs with levenshtein ≤ 2 over
@@ -5218,6 +5304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
     "rl_qgram_cosine": rl_qgram_cosine,
+    "rl_weighted_jaccard": rl_weighted_jaccard,
     "rl_edit_join": rl_edit_join,
     "rl_jaro_duck": rl_jaro_duck,
     "rl_nw_unit": rl_nw_unit,
@@ -5329,6 +5416,7 @@ ORACLES: dict[str, str] = {
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,
+    "rl_weighted_jaccard": SQL_RL_WEIGHTED_JACCARD,
     "rl_edit_join": SQL_RL_EDIT_JOIN,
     "rl_jaro_duck": SQL_RL_JARO_DUCK,
     "rl_nw_unit": SQL_RL_NW_UNIT,

@@ -306,6 +306,52 @@ def main() -> None:
     out["graph_clusters"] = cc.select("entity_id").distinct().count()
     out["bridge_repair_sec"] = round(time.time() - t0, 1)
 
+    # ---- PassJoin exact edit-distance self-join ------------------------
+    # 4-record entities over 16-char md5-hex keys: variant 0 is the
+    # base, variants 1-3 substitute one DISJOINT-alphabet char ('x'/'y'
+    # /'z' — never hex) at positions 0/5/10, so within an entity
+    # base↔variant is lev=1 and variant↔variant lev=2 — every C(4,2)=6
+    # pair is ≤ d=2 by construction, and cross-entity keys are 16
+    # independent hex chars (lev ≤ 2 needs 14+ agreeing positions;
+    # never happens). Closed form: pairs == 6 · n_entities. Runs on a
+    # 1/2 slice: the probe explode is the pair-heavy stage
+    # (≤ (2d+1)²(d+1) = 75 rows/record), same shape at any n.
+    from idd_hw6_record_linkage_spark.operators import edit_join as EJ
+
+    t0 = time.time()
+    m = n // 2
+    ej_in = (
+        spark.range(m)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") / 4).cast("long").alias("ent"),
+            (F.col("id") % 4).cast("int").alias("v"),
+        )
+        .select(
+            "rid",
+            F.when(
+                F.col("v") == 0,
+                F.substring(F.md5(F.col("ent").cast("string")), 1, 16),
+            )
+            .otherwise(
+                F.overlay(
+                    F.substring(F.md5(F.col("ent").cast("string")), 1, 16),
+                    F.element_at(
+                        F.array(F.lit("x"), F.lit("y"), F.lit("z")),
+                        F.col("v"),
+                    ),
+                    (F.col("v") - 1) * 5 + 1,
+                    F.lit(1),
+                )
+            )
+            .alias("key"),
+        )
+    )
+    ej = EJ.edit_distance_self_join(ej_in, "rid", "key", d=2)
+    out["edit_join_pairs"] = ej.count()
+    out["edit_join_expected"] = 6 * (m // 4)
+    out["edit_join_sec"] = round(time.time() - t0, 1)
+
     print(json.dumps(out))
 
 

@@ -64,6 +64,7 @@ AUDITED = [
     "rl_bag_distance",
     "rl_jaro_duck",
     "rl_edit_join",
+    "rl_weighted_jaccard",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
