@@ -2516,6 +2516,67 @@ FROM hc
 """
 
 
+def rl_cluster_gmd(spark, sf_dir):
+    """Generalized Merge Distance at unit costs
+    (operators.evaluation.generalized_merge_distance — Menestrina et
+    al. VLDB'10) of the linkage clustering vs the exact-text truth:
+    the minimum split+merge repair script, the edit-operation lens
+    next to the pair/record/link/entropy metrics. Closed form from
+    the shared contingency aggregates (splits = nnz − K_pred,
+    merges = nnz − K_truth); every column except gmd_norm is a BIGINT,
+    so the row is value-exact by construction."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        generalized_merge_distance,
+    )
+
+    pred = rl_clusters(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("text").isNull(),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.md5("text"))
+        .alias("truth_id"),
+    )
+    return generalized_merge_distance(pred, truth)
+
+
+SQL_RL_CLUSTER_GMD = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+tr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN text IS NULL
+              THEN 'null:' || CAST(doc_id AS VARCHAR)
+              ELSE md5(text) END AS truth_id
+  FROM documents
+), j AS (
+  SELECT cl.entity_id AS c, tr.truth_id AS t
+  FROM cl JOIN tr USING (url)
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_records,
+         CAST(count(DISTINCT c) AS BIGINT) AS n_pred_clusters,
+         CAST(count(DISTINCT t) AS BIGINT) AS n_truth_clusters,
+         CAST(count(DISTINCT (c, t)) AS BIGINT) AS n_overlap_cells
+  FROM j
+)
+SELECT n_records, n_pred_clusters, n_truth_clusters, n_overlap_cells,
+       CAST(n_overlap_cells - n_pred_clusters AS BIGINT) AS gmd_splits,
+       CAST(n_overlap_cells - n_truth_clusters AS BIGINT) AS gmd_merges,
+       CAST(2 * n_overlap_cells - n_pred_clusters - n_truth_clusters
+            AS BIGINT) AS gmd,
+       CAST(CASE WHEN (n_records - n_pred_clusters)
+                      + (n_records - n_truth_clusters) > 0
+                 THEN round(CAST(2 * n_overlap_cells - n_pred_clusters
+                                 - n_truth_clusters AS DOUBLE)
+                            / CAST((n_records - n_pred_clusters)
+                                   + (n_records - n_truth_clusters)
+                                   AS DOUBLE), 6)
+                 ELSE 0.0 END AS DOUBLE) AS gmd_norm
+FROM a
+"""
+
+
 def rl_cluster_muc(spark, sf_dir):
     """MUC link-based score (operators.evaluation.muc_score) of the
     linkage clustering vs the exact-text truth — completes the
@@ -5312,6 +5373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_damerau": rl_damerau,
     "rl_qgram_blocks": rl_qgram_blocks,
     "rl_label_sample": rl_label_sample,
+    "rl_cluster_gmd": rl_cluster_gmd,
     "rl_cluster_muc": rl_cluster_muc,
     "rl_cluster_ari": rl_cluster_ari,
     "rl_cluster_vmeasure": rl_cluster_vmeasure,
@@ -5424,6 +5486,7 @@ ORACLES: dict[str, str] = {
     "rl_damerau": SQL_RL_DAMERAU,
     "rl_qgram_blocks": SQL_RL_QGRAM_BLOCKS,
     "rl_label_sample": SQL_RL_LABEL_SAMPLE,
+    "rl_cluster_gmd": SQL_RL_CLUSTER_GMD,
     "rl_cluster_muc": SQL_RL_CLUSTER_MUC,
     "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
     "rl_cluster_vmeasure": SQL_RL_CLUSTER_VMEASURE,

@@ -582,3 +582,71 @@ def muc_score(
         F.round(r, 6).alias("muc_recall"),
         F.round(f1, 6).alias("muc_f1"),
     )
+
+
+def generalized_merge_distance(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "entity_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Generalized Merge Distance at unit costs (Menestrina, Whang,
+    Garcia-Molina VLDB'10): the minimum number of cluster SPLIT and
+    MERGE operations transforming the predicted partition into the
+    truth — the edit-script lens the other metrics lack (pairwise F1
+    counts pair errors, B³ per-record purity, MUC links, ARI/VI
+    chance/entropy; GMD answers "how many repair operations would a
+    steward perform"). Menestrina et al. show pairwise precision/
+    recall and VI are themselves GMD instances under non-unit cost
+    functions, which makes the unit-cost point the family's natural
+    summary.
+
+    For total partitions the optimal script is closed-form: split
+    every mixed predicted cluster into its contingency cells, then
+    merge cells per truth cluster —
+      splits = nnz − K_pred,  merges = nnz − K_truth,
+      gmd    = splits + merges = 2·nnz − K_pred − K_truth
+    (nnz = non-empty contingency cells). Every output except the
+    normalized form is a 64-bit integer — value-exact across engines
+    by construction. ``gmd_norm`` divides by the worst-case script
+    (split everything to singletons, re-merge: (N − K_pred) +
+    (N − K_truth)), 0.0 when that is 0 (both sides already all
+    singletons → gmd is 0 too). Same one-pass multi-countDistinct
+    aggregate as :func:`muc_score` — no joins beyond the id join, no
+    pairwise blowup, scale-safe at any cluster-size skew."""
+    j = pred.select(
+        F.col(id_col).alias("__id"), F.col(pred_col).alias("__c")
+    ).join(
+        truth.select(
+            F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")
+        ),
+        "__id",
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("__c").cast("long").alias("n_pred_clusters"),
+        F.countDistinct("__t").cast("long").alias("n_truth_clusters"),
+        F.countDistinct("__c", "__t").cast("long").alias("n_overlap_cells"),
+    )
+    splits = F.col("n_overlap_cells") - F.col("n_pred_clusters")
+    merges = F.col("n_overlap_cells") - F.col("n_truth_clusters")
+    worst = (F.col("n_records") - F.col("n_pred_clusters")) + (
+        F.col("n_records") - F.col("n_truth_clusters")
+    )
+    gmd = splits + merges
+    return agg.select(
+        "n_records",
+        "n_pred_clusters",
+        "n_truth_clusters",
+        "n_overlap_cells",
+        splits.cast("long").alias("gmd_splits"),
+        merges.cast("long").alias("gmd_merges"),
+        gmd.cast("long").alias("gmd"),
+        F.when(
+            worst > 0,
+            F.round(gmd.cast("double") / worst.cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gmd_norm"),
+    )

@@ -65,6 +65,7 @@ AUDITED = [
     "rl_jaro_duck",
     "rl_edit_join",
     "rl_weighted_jaccard",
+    "rl_cluster_gmd",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",

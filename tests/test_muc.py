@@ -124,3 +124,75 @@ class TestMuc:
         ).collect()[0]
         assert out["muc_recall"] == 1.0
         assert out["muc_precision"] == pytest.approx(4 / 5, abs=1e-6)
+
+
+def _naive_gmd(pred, truth):
+    """Menestrina VLDB'10 closed form recomputed from raw partitions:
+    split every mixed pred cluster into contingency cells, merge cells
+    per truth cluster."""
+    c, t = dict(pred), dict(truth)
+    ids = [i for i in c if i in t]
+    cells = {(c[i], t[i]) for i in ids}
+    kp = len({c[i] for i in ids})
+    kt = len({t[i] for i in ids})
+    return len(cells) - kp, len(cells) - kt
+
+
+class TestGeneralizedMergeDistance:
+    def _run(self, spark, pred, truth):
+        from idd_hw6_record_linkage_spark.operators.evaluation import (
+            generalized_merge_distance,
+        )
+
+        return generalized_merge_distance(
+            spark.createDataFrame(pred, "url string, entity_id string"),
+            spark.createDataFrame(truth, "url string, truth_id string"),
+        ).collect()[0]
+
+    def test_matches_naive(self, spark):
+        pred = [("a", "p1"), ("b", "p1"), ("c", "p2"),
+                ("d", "p3"), ("e", "p3"), ("f", "p3")]
+        truth = [("a", "t1"), ("b", "t1"), ("c", "t1"),
+                 ("d", "t2"), ("e", "t2"), ("f", "t3")]
+        out = self._run(spark, pred, truth)
+        s, m = _naive_gmd(pred, truth)
+        assert (out["gmd_splits"], out["gmd_merges"]) == (s, m)
+        assert out["gmd"] == s + m
+        # by hand: cells = {(p1,t1),(p2,t1),(p3,t2),(p3,t3)} -> nnz 4,
+        # splits 4-3=1 (p3 is mixed), merges 4-3=1 (t1 is split)
+        assert out["gmd"] == 2
+
+    def test_identical_partitions_zero(self, spark):
+        rows = [("a", "x"), ("b", "x"), ("c", "y")]
+        out = self._run(spark, rows, [(u, "t" + g) for u, g in rows])
+        assert out["gmd"] == 0 and out["gmd_norm"] == 0.0
+
+    def test_singletons_vs_one_cluster(self, spark):
+        n = 7
+        pred = [(f"u{i}", f"p{i}") for i in range(n)]
+        truth = [(f"u{i}", "t") for i in range(n)]
+        out = self._run(spark, pred, truth)
+        # no splits needed, n-1 merges; worst case == gmd -> norm 1.0
+        assert (out["gmd_splits"], out["gmd_merges"]) == (0, n - 1)
+        assert out["gmd_norm"] == 1.0
+
+    def test_randomized_closed_form(self, spark):
+        import random
+
+        rng = random.Random(3)
+        ids = [f"u{i}" for i in range(60)]
+        pred = [(i, f"p{rng.randint(0, 9)}") for i in ids]
+        truth = [(i, f"t{rng.randint(0, 6)}") for i in ids]
+        out = self._run(spark, pred, truth)
+        s, m = _naive_gmd(pred, truth)
+        assert (out["gmd_splits"], out["gmd_merges"], out["gmd"]) == (
+            s,
+            m,
+            s + m,
+        )
+
+    def test_all_singletons_both_sides(self, spark):
+        pred = [("a", "p1"), ("b", "p2")]
+        truth = [("a", "t1"), ("b", "t2")]
+        out = self._run(spark, pred, truth)
+        assert out["gmd"] == 0 and out["gmd_norm"] == 0.0
