@@ -2201,6 +2201,48 @@ FROM part GROUP BY 1
 SQL_RL_SOUNDEX_KEYS, SQL_RL_SOUNDEX_BLOCKS = _sql_soundex_queries()
 
 
+def rl_refined_soundex(spark, sf_dir):
+    """Refined Soundex keys (functions.phonetic.refined_soundex_key —
+    Apache-Commons RefinedSoundex behavior: full-length run-collapsed
+    digit string with vowel-zero separators kept, e.g.
+    TESTING → T6036084) beside the classic 4-char Soundex key for the
+    same token, plus the blocking designer's decision signal: is the
+    refined key a strict refinement (finer or equal blocks)? Both keys
+    are 100% native expressions; the DuckDB oracle recomputes BOTH
+    algorithms from scratch in portable SQL (neither exists in DuckDB),
+    so every row is value-exact. Map-only."""
+    from idd_hw6_record_linkage_spark.functions.phonetic import (
+        refined_soundex_key,
+        soundex_key,
+    )
+
+    tok = F.upper(F.split(F.col("p_name"), " ").getItem(0))
+    return _scan(spark, sf_dir, "part").select(
+        "p_partkey",
+        tok.alias("name_token"),
+        soundex_key(tok).alias("sdx_key"),
+        refined_soundex_key(tok).alias("rsdx_key"),
+    )
+
+
+def _sql_refined_soundex_query() -> str:
+    from idd_hw6_record_linkage_spark.functions.phonetic import (
+        refined_soundex_sql,
+        soundex_sql,
+    )
+
+    tok = "upper(split_part(p_name, ' ', 1))"
+    return f"""
+SELECT p_partkey, {tok} AS name_token,
+       {soundex_sql(tok)} AS sdx_key,
+       {refined_soundex_sql(tok)} AS rsdx_key
+FROM part
+"""
+
+
+SQL_RL_REFINED_SOUNDEX = _sql_refined_soundex_query()
+
+
 def rl_monge_elkan(spark, sf_dir):
     """Monge-Elkan hybrid token-set similarity over the candidate
     pairs (functions.monge_elkan) — the comparator between whole-string
@@ -5365,6 +5407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
     "rl_qgram_cosine": rl_qgram_cosine,
+    "rl_refined_soundex": rl_refined_soundex,
     "rl_weighted_jaccard": rl_weighted_jaccard,
     "rl_edit_join": rl_edit_join,
     "rl_jaro_duck": rl_jaro_duck,
@@ -5478,6 +5521,7 @@ ORACLES: dict[str, str] = {
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,
+    "rl_refined_soundex": SQL_RL_REFINED_SOUNDEX,
     "rl_weighted_jaccard": SQL_RL_WEIGHTED_JACCARD,
     "rl_edit_join": SQL_RL_EDIT_JOIN,
     "rl_jaro_duck": SQL_RL_JARO_DUCK,

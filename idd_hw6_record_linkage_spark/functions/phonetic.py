@@ -44,7 +44,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["soundex_key", "soundex_sql", "soundex_py", "SOUNDEX_CODES"]
+__all__ = [
+    "soundex_key",
+    "soundex_sql",
+    "soundex_py",
+    "SOUNDEX_CODES",
+    "refined_soundex_key",
+    "refined_soundex_sql",
+    "refined_soundex_py",
+    "REFINED_SOUNDEX_CODES",
+]
 
 # A..Z -> soundex digit ('0' = vowel/Y separator; H/W are REMOVED
 # before this map applies, their entries exist only for a leading H/W
@@ -106,3 +115,70 @@ def soundex_py(s: str) -> str:
             collapsed.append(code)
     digits = [d for d in collapsed[1:] if d != "0"]
     return (s[0] + "".join(digits) + "000")[:4]
+
+
+# A..Z -> refined-soundex digit (Apache-Commons RefinedSoundex map:
+# BP=1 FV=2 CKS=3 GJ=4 QXZ=5 DT=6 L=7 MN=8 R=9, vowels+HWY=0).
+REFINED_SOUNDEX_CODES = "01360240043788015936020505"
+
+
+def refined_soundex_key(col: Column | str) -> Column:
+    """Refined Soundex (Apache-Commons ``RefinedSoundex`` behavior):
+    first letter + the run-collapsed digit string of EVERY letter
+    (leading letter's own code included, vowel zeros KEPT as
+    separators, no truncation) — e.g. TESTING -> T6036084. A finer
+    phonetic key than classic Soundex: keeping the zero separators and
+    the full length splits the mega-blocks Soundex's 4-char truncation
+    creates, which is the variant's point for blocking (smaller, more
+    selective blocks at corpus scale).
+
+    100% native expression (translate + per-digit run-collapse chain —
+    digits only span 0-9 so RE2's no-backreference limit costs ten
+    fixed passes, same trick as :func:`soundex_sql`). Domain: callers
+    pass uppercase alphabetic tokens; non-alpha chars are stripped
+    first so the key is total. Empty/NULL -> ''.
+    """
+    s = F.regexp_replace(
+        F.upper(col if isinstance(col, Column) else F.col(col)),
+        "[^A-Z]",
+        "",
+    )
+    c: Column = F.translate(
+        s,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        REFINED_SOUNDEX_CODES,
+    )
+    for d in "0123456789":
+        c = F.regexp_replace(c, f"{d}{d}+", d)
+    return F.coalesce(
+        F.concat(F.substring(s, 1, 1), c), F.lit("")
+    )
+
+
+def refined_soundex_sql(expr: str) -> str:
+    """DuckDB SQL expression: Spark-exact refined soundex of ``expr``
+    (any string; non-alpha stripped after uppercasing, same as
+    :func:`refined_soundex_key`)."""
+    s = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    c = (
+        f"translate({s}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        f"'{REFINED_SOUNDEX_CODES}')"
+    )
+    for d in "0123456789":
+        c = f"regexp_replace({c}, '{d}{d}+', '{d}', 'g')"
+    return f"coalesce(substr({s}, 1, 1) || {c}, '')"
+
+
+def refined_soundex_py(s: str) -> str:
+    """Pure-Python replica (test triangulation only)."""
+    import re
+
+    s = re.sub("[^A-Z]", "", (s or "").upper())
+    if not s:
+        return ""
+    codes = [REFINED_SOUNDEX_CODES[ord(ch) - ord("A")] for ch in s]
+    collapsed: list[str] = []
+    for code in codes:
+        if not collapsed or collapsed[-1] != code:
+            collapsed.append(code)
+    return s[0] + "".join(collapsed)

@@ -66,6 +66,7 @@ AUDITED = [
     "rl_edit_join",
     "rl_weighted_jaccard",
     "rl_cluster_gmd",
+    "rl_refined_soundex",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",

@@ -102,3 +102,68 @@ def test_contract_queries_shape(spark):
     assert blocks == {
         k: (n, n * (n - 1) // 2) for k, n in naive.items()
     }
+
+
+class TestRefinedSoundex:
+    """Refined Soundex (Commons RefinedSoundex behavior): pinned
+    values incl. the documented TESTING -> T6036084, three-way
+    Spark == DuckDB == Python parity on fuzz words, refinement
+    property vs classic soundex on alpha tokens."""
+
+    PINNED_R = {
+        "TESTING": "T6036084",
+        "ROBERT": "R901096",
+        "RUPERT": "R901096",
+        "": "",
+        "AAAA": "A0",
+        "BBBB": "B1",
+        "MCDONALD": "M83608076",
+    }
+
+    def test_python_replica_pinned(self):
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            refined_soundex_py,
+        )
+
+        for w, want in self.PINNED_R.items():
+            assert refined_soundex_py(w) == want, w
+
+    def test_three_way_parity_fuzz(self, spark):
+        import duckdb
+
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            refined_soundex_key,
+            refined_soundex_py,
+            refined_soundex_sql,
+        )
+
+        words = list(self.PINNED_R) + _fuzz_words(seed=31)
+        words += [w.lower() for w in words[:40]] + ["McD onald-9", "a1b2"]
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        got_spark = {
+            r.w: r.k
+            for r in df.select(
+                "w", refined_soundex_key("w").alias("k")
+            ).collect()
+        }
+        con = duckdb.connect()
+        expr = refined_soundex_sql("w")
+        for w in words:
+            py = refined_soundex_py(w)
+            assert got_spark[w] == py, w
+            duck = con.execute(
+                f"SELECT {expr} FROM (SELECT ? AS w)", [w]
+            ).fetchone()[0]
+            assert duck == py, w
+
+    def test_refines_classic_soundex_blocks(self, spark):
+        # records sharing a refined key must share the classic key
+        # (refined keeps strictly more distinctions) — checked on the
+        # contract query output
+        from idd_hw6_record_linkage_spark import entry_queries as EQ
+
+        rows = EQ.rl_refined_soundex(spark, "/root/testdata/sf0.001").collect()
+        by_refined = {}
+        for r in rows:
+            by_refined.setdefault(r.rsdx_key, set()).add(r.sdx_key)
+        assert all(len(v) == 1 for v in by_refined.values())
