@@ -156,6 +156,10 @@ HEADLINE_QUERIES = [
     "rl_edit_join",
     # IDF-weighted Jaccard: integer micro-weight relational plan
     "rl_weighted_jaccard",
+    # Refined Soundex blocking key (native translate/regex chain)
+    "rl_refined_soundex",
+    # Longest-common-substring comparator (nested native HOFs)
+    "rl_lcs",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

@@ -961,6 +961,86 @@ FROM b
 """
 
 
+def rl_lcs(spark, sf_dir):
+    """Longest-common-substring comparator (functions.lcs — Friedman &
+    Sideli 1992, Christen ch. 5.9) over within-block candidate pairs:
+    the block-agreement signal the edit family dilutes (a token move
+    keeps a long common run; scattered typos destroy every run). Pure
+    native nested higher-order functions — windows of the shorter
+    40-char ASCII slice probed into the longer with ``contains`` —
+    zero Python, zero floats except the final normalized similarity,
+    so both columns are value-exact against the same window
+    enumeration replicated in DuckDB generate_series/list lambdas."""
+    from idd_hw6_record_linkage_spark.functions.lcs import lcs_len
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(s, F.lit("")).alias("s"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("s").alias("s_r"), "block_key"
+    )
+    denom = F.greatest(F.length("s_l"), F.length("s_r"), F.lit(1))
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .withColumn("lcs_len", lcs_len("s_l", "s_r"))
+        .select(
+            "id_l",
+            "id_r",
+            "lcs_len",
+            F.round(
+                F.col("lcs_len") / denom.cast("double"), 6
+            ).alias("lcs_sim"),
+        )
+    )
+
+
+SQL_RL_LCS = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.s AS s_l, b.s AS s_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+), w AS (
+  SELECT id_l, id_r,
+         CASE WHEN length(s_l) <= length(s_r) THEN s_l ELSE s_r END AS s,
+         CASE WHEN length(s_l) <= length(s_r) THEN s_r ELSE s_l END AS t,
+         greatest(length(s_l), length(s_r), 1) AS denom
+  FROM p
+), m AS (
+  SELECT id_l, id_r, denom,
+         CASE WHEN length(s) = 0 THEN 0 ELSE
+           list_max(list_transform(generate_series(1, length(s)), n ->
+             CASE WHEN len(list_filter(
+                          generate_series(1, length(s) - n + 1),
+                          i -> strpos(t, substr(s, CAST(i AS INTEGER),
+                                                CAST(n AS INTEGER))) > 0
+                        )) > 0
+                  THEN n ELSE 0 END))
+         END AS lcs
+  FROM w
+)
+SELECT id_l, id_r, CAST(lcs AS BIGINT) AS lcs_len,
+       CAST(round(lcs / CAST(denom AS DOUBLE), 6) AS DOUBLE) AS lcs_sim
+FROM m
+"""
+
+
 def rl_gamma_patterns(spark, sf_dir):
     """Fellegi-Sunter agreement-pattern (gamma-vector) frequency
     profile: how many candidate pairs exhibit each of the 2^k
@@ -5404,6 +5484,7 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_lcs": rl_lcs,
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
     "rl_qgram_cosine": rl_qgram_cosine,
@@ -5521,6 +5602,7 @@ ORACLES: dict[str, str] = {
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,
+    "rl_lcs": SQL_RL_LCS,
     "rl_refined_soundex": SQL_RL_REFINED_SOUNDEX,
     "rl_weighted_jaccard": SQL_RL_WEIGHTED_JACCARD,
     "rl_edit_join": SQL_RL_EDIT_JOIN,

@@ -67,6 +67,7 @@ AUDITED = [
     "rl_weighted_jaccard",
     "rl_cluster_gmd",
     "rl_refined_soundex",
+    "rl_lcs",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
