@@ -160,6 +160,8 @@ HEADLINE_QUERIES = [
     "rl_refined_soundex",
     # Longest-common-substring comparator (nested native HOFs)
     "rl_lcs",
+    # Editex phonetic edit distance (Arrow kernel, unit-cost pin)
+    "rl_editex_unit",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

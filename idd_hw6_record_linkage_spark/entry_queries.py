@@ -1041,6 +1041,145 @@ FROM m
 """
 
 
+def rl_editex_unit(spark, sf_dir):
+    """Editex phonetic edit distance at the DEGENERATE cost point
+    (functions.editex — Zobel & Dart SIGIR'96): with the group table
+    empty and the h/w + doubled-letter discounts off, every DP
+    operation costs exactly 2, so the kernel's answer IS
+    2·levenshtein and DuckDB's native ``levenshtein`` pins the whole
+    vectorized machinery value-exactly — borders, min-plus cumsum
+    collapse, length-sorted retirement — the same twin trick as
+    rl_nw_unit/rl_jaro_duck. The production Zobel-Dart cost table
+    shares every one of those code paths (one ``unit`` flag flips the
+    cost functions), so this pin covers the production comparator's
+    kernel too; its group-cost semantics are gated by rl_editex_gate
+    and triangulated against an independent textbook DP in
+    tests/test_editex. ASCII-sanitized 40-char slices keep char/byte
+    bases identical across engines."""
+    from idd_hw6_record_linkage_spark.functions.editex import (
+        editex_unit_distance,
+    )
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(s, F.lit("")).alias("s"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("s").alias("s_r"), "block_key"
+    )
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            editex_unit_distance("s_l", "s_r").alias("editex_unit_dist"),
+        )
+    )
+
+
+SQL_RL_EDITEX_UNIT = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+)
+SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       CAST(2 * levenshtein(a.s, b.s) AS BIGINT) AS editex_unit_dist
+FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+"""
+
+
+def rl_editex_gate(spark, sf_dir):
+    """Production-cost editex invariant gate. The Zobel-Dart group DP
+    is not SQL-expressible, so — like rl_sw_gate — the contract row
+    checks what an SQL engine CAN verify: the pair count over the
+    shared blocked basis plus Spark-side recomputed flags the oracle
+    pins true: 0 ≤ editex ≤ 2·levenshtein on every pair (each
+    unit-cost edit is an editex operation of cost ≤ 2 — note the
+    LOWER bound is 0, not levenshtein: deleting a doubled letter is
+    free), symmetry under argument swap, and editex = 0 on every
+    string-equal pair. Bit-level parity against an independent
+    textbook DP lives in tests/test_editex."""
+    from idd_hw6_record_linkage_spark.functions.editex import (
+        editex_distance,
+    )
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(s, F.lit("")).alias("s"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("s").alias("s_r"), "block_key"
+    )
+    pairs = (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "s_l",
+            "s_r",
+            editex_distance("s_l", "s_r").alias("ed"),
+            editex_distance("s_r", "s_l").alias("ed_rev"),
+            (F.levenshtein("s_l", "s_r") * 2).cast("long").alias("lev2"),
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        (
+            (F.min("ed") >= 0) & (F.max(F.col("ed") - F.col("lev2")) <= 0)
+        ).alias("sandwich_ok"),
+        (F.sum((F.col("ed") != F.col("ed_rev")).cast("long")) == 0).alias(
+            "sym_ok"
+        ),
+        (
+            F.sum(
+                F.when(
+                    (F.col("s_l") == F.col("s_r")) & (F.col("ed") != 0), 1
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("eq_zero_ok"),
+    )
+
+
+SQL_RL_EDITEX_GATE = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       TRUE AS sandwich_ok,
+       TRUE AS sym_ok,
+       TRUE AS eq_zero_ok
+FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+"""
+
+
 def rl_gamma_patterns(spark, sf_dir):
     """Fellegi-Sunter agreement-pattern (gamma-vector) frequency
     profile: how many candidate pairs exhibit each of the 2^k
@@ -5484,6 +5623,8 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_editex_unit": rl_editex_unit,
+    "rl_editex_gate": rl_editex_gate,
     "rl_lcs": rl_lcs,
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
@@ -5602,6 +5743,8 @@ ORACLES: dict[str, str] = {
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,
+    "rl_editex_unit": SQL_RL_EDITEX_UNIT,
+    "rl_editex_gate": SQL_RL_EDITEX_GATE,
     "rl_lcs": SQL_RL_LCS,
     "rl_refined_soundex": SQL_RL_REFINED_SOUNDEX,
     "rl_weighted_jaccard": SQL_RL_WEIGHTED_JACCARD,

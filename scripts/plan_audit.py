@@ -68,6 +68,7 @@ AUDITED = [
     "rl_cluster_gmd",
     "rl_refined_soundex",
     "rl_lcs",
+    "rl_editex_unit",
     "rl_label_sample",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
