@@ -352,6 +352,43 @@ def main() -> None:
     out["edit_join_expected"] = 6 * (m // 4)
     out["edit_join_sec"] = round(time.time() - t0, 1)
 
+    # ---- Editex phonetic kernel over planted variant pairs -------------
+    # n/2 pairs of 16-char md5-hex keys where the right side substitutes
+    # 'x' at position 6. 'x' shares no phonetic group with any hex char
+    # and is not h/w, a deletion+insertion detour costs >= 2, and the
+    # substitution costs exactly 2 — so BOTH production editex and the
+    # unit-cost mode equal 2 on every pair (lev = 1), a closed form any
+    # kernel or retirement bug breaks. Measures Arrow-batch throughput
+    # of the min-plus DP at scale.
+    from idd_hw6_record_linkage_spark.functions.editex import (
+        editex_distance,
+        editex_unit_distance,
+    )
+
+    t0 = time.time()
+    m = n // 2
+    ex_pairs = spark.range(m).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 16).alias("a"),
+        F.overlay(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 16),
+            F.lit("x"),
+            6,
+            F.lit(1),
+        ).alias("b"),
+    )
+    ex = ex_pairs.select(
+        editex_distance("a", "b").alias("d"),
+        editex_unit_distance("a", "b").alias("u"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("d") != 2).cast("long")).alias("bad_prod"),
+        F.sum((F.col("u") != 2).cast("long")).alias("bad_unit"),
+    ).collect()[0]
+    out["editex_pairs"] = ex["n"]
+    out["editex_bad_prod"] = ex["bad_prod"]
+    out["editex_bad_unit"] = ex["bad_unit"]
+    out["editex_sec"] = round(time.time() - t0, 1)
+
     print(json.dumps(out))
 
 
