@@ -5648,10 +5648,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_soft_tfidf": rl_soft_tfidf,
     "rl_sw_gate": rl_sw_gate,
     "rl_soundex_keys": rl_soundex_keys,
-    "rl_soundex_blocks": rl_soundex_blocks,
     "rl_monge_elkan": rl_monge_elkan,
-    "rl_pair_token_sims": rl_pair_token_sims,
-    "rl_gamma_patterns": rl_gamma_patterns,
+    # behavior-changed this round (ADVICE fixes / join shrink) — keep
+    # inside the driver's checked prefix:
+    "dedup_lines": dedup_lines,
+    "events_moving_avg": events_moving_avg,
+    "text_span_dup": text_span_dup,
     "rl_rare_token_blocks": rl_rare_token_blocks,
     "rl_constraint_check": rl_constraint_check,
     "rl_score_auc": rl_score_auc,
@@ -5673,9 +5675,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_nearest": events_asof_nearest,
     "events_asof_skew": events_asof_skew,
     "events_asof_signup": events_asof_signup,
-    "events_moving_avg": events_moving_avg,
-    "text_span_dup": text_span_dup,
-    "dedup_lines": dedup_lines,
+    # demoted long-green mid-round queries (their modules stay covered
+    # inside the prefix: rl_soundex_keys + rl_refined_soundex recompute
+    # both soundex algorithms; the token-sim/gamma bases feed
+    # rl_fs_match_weights):
+    "rl_soundex_blocks": rl_soundex_blocks,
+    "rl_pair_token_sims": rl_pair_token_sims,
+    "rl_gamma_patterns": rl_gamma_patterns,
     "ann_ivf_recall": ann_ivf_recall,
     # -- got no driver CORRECTNESS row in round 4 (QUERIES order put
     #    them past the 50-row cap) ---------------------------------------
