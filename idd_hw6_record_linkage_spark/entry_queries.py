@@ -2462,6 +2462,46 @@ FROM part
 SQL_RL_REFINED_SOUNDEX = _sql_refined_soundex_query()
 
 
+def rl_nysiis_keys(spark, sf_dir):
+    """NYSIIS phonetic blocking keys (functions.phonetic.nysiis_key —
+    Taft 1970, the classic name key next to Soundex) per record, in
+    both the classic 6-char-truncated form and the untruncated
+    fine-blocking form, over the same cleaned first-name-token basis
+    as rl_soundex_keys. The encoder is a 100% native order-pinned
+    regexp_replace/translate chain (whole-stage codegen, map-only);
+    the DuckDB oracle RECOMPUTES the full pass chain from scratch
+    (generated from the SAME pass tables, so the two engines cannot
+    drift), making every row value-exact — the strongest contract a
+    rule-based encoder can carry. Reference anchor: the reference
+    blocks on synonym-map + prefix keys only (blocking_B1.py /
+    blocking_B2.py); phonetic keys are the standard blocking family
+    it lacks (SURVEY §2.3)."""
+    from idd_hw6_record_linkage_spark.functions.phonetic import nysiis_key
+
+    tok = F.upper(F.split(F.col("p_name"), " ").getItem(0))
+    return _scan(spark, sf_dir, "part").select(
+        "p_partkey",
+        tok.alias("name_token"),
+        nysiis_key(tok, max_len=6).alias("nys_key"),
+        nysiis_key(tok, max_len=0).alias("nys_key_full"),
+    )
+
+
+def _sql_nysiis_query() -> str:
+    from idd_hw6_record_linkage_spark.functions.phonetic import nysiis_sql
+
+    tok = "upper(split_part(p_name, ' ', 1))"
+    return f"""
+SELECT p_partkey, {tok} AS name_token,
+       {nysiis_sql(tok, max_len=6)} AS nys_key,
+       {nysiis_sql(tok, max_len=0)} AS nys_key_full
+FROM part
+"""
+
+
+SQL_RL_NYSIIS_KEYS = _sql_nysiis_query()
+
+
 def rl_monge_elkan(spark, sf_dir):
     """Monge-Elkan hybrid token-set similarity over the candidate
     pairs (functions.monge_elkan) — the comparator between whole-string
@@ -5623,6 +5663,7 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_nysiis_keys": rl_nysiis_keys,
     "rl_editex_unit": rl_editex_unit,
     "rl_editex_gate": rl_editex_gate,
     "rl_lcs": rl_lcs,
@@ -5653,7 +5694,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inside the driver's checked prefix:
     "dedup_lines": dedup_lines,
     "events_moving_avg": events_moving_avg,
-    "text_span_dup": text_span_dup,
     "rl_rare_token_blocks": rl_rare_token_blocks,
     "rl_constraint_check": rl_constraint_check,
     "rl_score_auc": rl_score_auc,
@@ -5679,6 +5719,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inside the prefix: rl_soundex_keys + rl_refined_soundex recompute
     # both soundex algorithms; the token-sim/gamma bases feed
     # rl_fs_match_weights):
+    # text_span_dup's round-5 change was plan-shape only (dup-subset
+    # join side); its oracle proves the values unchanged, so it yields
+    # its prefix slot to the new NYSIIS contract query:
+    "text_span_dup": text_span_dup,
     "rl_soundex_blocks": rl_soundex_blocks,
     "rl_pair_token_sims": rl_pair_token_sims,
     "rl_gamma_patterns": rl_gamma_patterns,
@@ -5753,6 +5797,7 @@ ORACLES: dict[str, str] = {
     "rl_editex_gate": SQL_RL_EDITEX_GATE,
     "rl_lcs": SQL_RL_LCS,
     "rl_refined_soundex": SQL_RL_REFINED_SOUNDEX,
+    "rl_nysiis_keys": SQL_RL_NYSIIS_KEYS,
     "rl_weighted_jaccard": SQL_RL_WEIGHTED_JACCARD,
     "rl_edit_join": SQL_RL_EDIT_JOIN,
     "rl_jaro_duck": SQL_RL_JARO_DUCK,

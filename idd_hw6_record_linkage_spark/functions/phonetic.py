@@ -182,3 +182,162 @@ def refined_soundex_py(s: str) -> str:
         if not collapsed or collapsed[-1] != code:
             collapsed.append(code)
     return s[0] + "".join(collapsed)
+
+
+# ---------------------------------------------------------------- NYSIIS
+
+# NYSIIS (Taft 1970, the New York State Identification and
+# Intelligence System key) — the other classic phonetic blocking key
+# every linkage toolkit carries next to Soundex. Published
+# implementations disagree on edge cases (Apache Commons, dropo's
+# reference C, and the textbook pseudo-code all differ on H/W
+# handling, final-S runs and vowel-run collapse), so this engine pins
+# ITS OWN variant as an order-fixed chain of regex/translate passes
+# and enforces it three ways: the Spark Column expression, the DuckDB
+# SQL replica (the value-exact oracle basis), and the pure-Python
+# replica the fuzz test triangulates with, all generated from the
+# SAME pass tables below. Known divergence from the iterative
+# textbook algorithm: vowel runs collapse across DISTINCT original
+# vowels ("EAB" -> "EB", textbook "EAB") — same single-separator
+# treatment Soundex applies, and harmless for blocking (it only makes
+# blocks coarser, never splits a textbook block across keys).
+#
+# Pass tables use RE2-safe patterns (no back-references in PATTERNS —
+# only in replacements, which Spark spells $1 and DuckDB/Python \1).
+
+# Head transcodes (anchored, applied in order to the cleaned name).
+_NYSIIS_HEAD: list[tuple[str, str]] = [
+    ("^MAC", "MCC"),
+    ("^KN", "NN"),
+    ("^K", "C"),
+    ("^(PH|PF)", "FF"),
+    ("^SCH", "SSS"),
+]
+
+# Tail transcodes (anchored at end).
+_NYSIIS_TAIL: list[tuple[str, str]] = [
+    ("(EE|IE)$", "Y"),
+    ("(DT|RT|RD|NT|ND)$", "D"),
+]
+
+# Body passes BEFORE the vowel fold (EV must see original vowels;
+# anchored to position >= 2 via the captured preceding char — the
+# textbook scan never rewrites the first letter).
+_NYSIIS_PRE: list[tuple[str, str]] = [(r"(.)EV", r"\1AF")]
+
+# Body passes AFTER the vowel fold and QZM/K translates. The H rule
+# ("H flanked by a non-vowel becomes the previous letter") is two
+# ordered passes; the W rule ("W after a vowel becomes that vowel")
+# is AW->AA since every vowel is already A.
+_NYSIIS_POST: list[tuple[str, str]] = [
+    ("SCH", "SSS"),
+    ("PH", "FF"),
+    (r"(.)H([^A])", r"\1\1\2"),
+    (r"([^A])H", r"\1\1"),
+    ("AW", "AA"),
+]
+
+# Terminal strips on the re-pinned key (classic order: S, AY, A).
+_NYSIIS_FINAL: list[tuple[str, str]] = [
+    ("S$", ""),
+    ("AY$", "Y"),
+    ("A$", ""),
+]
+
+_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _java_repl(r: str) -> str:
+    """RE2/Python ``\\1`` replacement syntax -> Java ``$1``."""
+    return r.replace("\\", "$")
+
+
+def nysiis_key(col: Column | str, max_len: int = 6) -> Column:
+    """NYSIIS phonetic key as a 100% native Spark expression chain
+    (regexp_replace/translate only — whole-stage codegen, map-only).
+    Non-alpha stripped after uppercasing so the key is total;
+    NULL -> NULL, '' -> ''. ``max_len`` truncates like the classic
+    key (6); pass 0 to disable truncation for a finer blocking key
+    (the refined-soundex trade)."""
+    s = F.regexp_replace(
+        F.upper(col if isinstance(col, Column) else F.col(col)),
+        "[^A-Z]",
+        "",
+    )
+    t = s
+    for p, r in _NYSIIS_HEAD + _NYSIIS_TAIL:
+        t = F.regexp_replace(t, p, _java_repl(r))
+    first = F.substring(t, 1, 1)
+    b = t
+    for p, r in _NYSIIS_PRE:
+        b = F.regexp_replace(b, p, _java_repl(r))
+    b = F.translate(b, "AEIOU", "AAAAA")
+    b = F.translate(b, "QZM", "GSN")
+    b = F.regexp_replace(b, "KN", "N")
+    b = F.translate(b, "K", "C")
+    for p, r in _NYSIIS_POST:
+        b = F.regexp_replace(b, p, _java_repl(r))
+    for ch in _ALPHA:
+        b = F.regexp_replace(b, f"{ch}{ch}+", ch)
+    key = F.concat(first, F.substring(b, 2, 2**31 - 1))
+    for p, r in _NYSIIS_FINAL:
+        key = F.regexp_replace(key, p, r)
+    key = F.when(key == "", first).otherwise(key)
+    if max_len:
+        key = F.substring(key, 1, max_len)
+    return key
+
+
+def nysiis_sql(expr: str, max_len: int = 6) -> str:
+    """DuckDB SQL expression replicating :func:`nysiis_key` pass for
+    pass (every regexp_replace carries the 'g' flag — DuckDB is
+    first-match-only by default, Spark/Python are global)."""
+    s = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    t = s
+    for p, r in _NYSIIS_HEAD + _NYSIIS_TAIL:
+        t = f"regexp_replace({t}, '{p}', '{r}', 'g')"
+    first = f"substr({t}, 1, 1)"
+    b = t
+    for p, r in _NYSIIS_PRE:
+        b = f"regexp_replace({b}, '{p}', '{r}', 'g')"
+    b = f"translate({b}, 'AEIOU', 'AAAAA')"
+    b = f"translate({b}, 'QZM', 'GSN')"
+    b = f"regexp_replace({b}, 'KN', 'N', 'g')"
+    b = f"translate({b}, 'K', 'C')"
+    for p, r in _NYSIIS_POST:
+        b = f"regexp_replace({b}, '{p}', '{r}', 'g')"
+    for ch in _ALPHA:
+        b = f"regexp_replace({b}, '{ch}{ch}+', '{ch}', 'g')"
+    key = f"({first} || substr({b}, 2))"
+    for p, r in _NYSIIS_FINAL:
+        key = f"regexp_replace({key}, '{p}', '{r}', 'g')"
+    key = f"coalesce(nullif({key}, ''), {first})"
+    if max_len:
+        key = f"substr({key}, 1, {max_len})"
+    return key
+
+
+def nysiis_py(name: str, max_len: int = 6) -> str:
+    """Pure-Python replica (test triangulation only)."""
+    import re
+
+    s = re.sub("[^A-Z]", "", (name or "").upper())
+    t = s
+    for p, r in _NYSIIS_HEAD + _NYSIIS_TAIL:
+        t = re.sub(p, r, t)
+    first = t[:1]
+    b = t
+    for p, r in _NYSIIS_PRE:
+        b = re.sub(p, r, b)
+    b = b.translate(str.maketrans("AEIOU", "AAAAA"))
+    b = b.translate(str.maketrans("QZM", "GSN"))
+    b = b.replace("KN", "N").replace("K", "C")
+    for p, r in _NYSIIS_POST:
+        b = re.sub(p, r, b)
+    for ch in _ALPHA:
+        b = re.sub(f"{ch}{ch}+", ch, b)
+    key = first + b[1:]
+    for p, r in _NYSIIS_FINAL:
+        key = re.sub(p, r, key)
+    key = key or first
+    return key[:max_len] if max_len else key

@@ -167,3 +167,90 @@ class TestRefinedSoundex:
         for r in rows:
             by_refined.setdefault(r.rsdx_key, set()).add(r.sdx_key)
         assert all(len(v) == 1 for v in by_refined.values())
+
+
+class TestNysiis:
+    """NYSIIS key (functions.phonetic.nysiis_*): pinned classics,
+    Spark == DuckDB == Python parity on fuzz words, and key-shape
+    properties (alpha-only, first letter preserved, 6-char cap)."""
+
+    # Classic NYSIIS examples the pinned pass-chain reproduces
+    # (MACINTOSH/KNIGHT/PHILLIP/LUKASIEWICZ are the canonical cited
+    # test vectors); the last rows pin OUR variant's documented
+    # divergences and edge behavior.
+    PINNED_N = {
+        "MACINTOSH": "MCANT",
+        "KNIGHT": "NAGT",
+        "PHILLIP": "FALAP",
+        "PFEIFFER": "FAFAR",
+        "SCHMIDT": "SNAD",
+        "LUKASIEWICZ": "LACASA",
+        "EVANS": "EVAN",
+        "BENTLEY": "BANTLY",
+        "LAWSON": "LASAN",
+        "HORVATH": "HARVAT",
+        "WASHINGTON": "WASANG",
+        "BROWN": "BRAN",
+        "O'DONNELL": "ODANAL",
+        "AHA": "AH",
+        "AEIOU": "A",
+        "H": "H",
+        "": "",
+        "McD onald-9": "MCDANA",
+    }
+
+    def test_python_replica_pinned(self):
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            nysiis_py,
+        )
+
+        for w, want in self.PINNED_N.items():
+            assert nysiis_py(w) == want, w
+
+    def test_three_way_parity_fuzz(self, spark):
+        import duckdb
+
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            nysiis_key,
+            nysiis_py,
+            nysiis_sql,
+        )
+
+        words = list(self.PINNED_N) + _fuzz_words(seed=47)
+        words += [w.lower() for w in words[:40]]
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        got_spark = {
+            r.w: (r.k, r.kf)
+            for r in df.select(
+                "w",
+                nysiis_key("w").alias("k"),
+                nysiis_key("w", max_len=0).alias("kf"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        e6 = nysiis_sql("w")
+        ef = nysiis_sql("w", max_len=0)
+        for w in words:
+            py6, pyf = nysiis_py(w), nysiis_py(w, max_len=0)
+            assert got_spark[w] == (py6, pyf), w
+            duck = con.execute(
+                f"SELECT {e6}, {ef} FROM (SELECT ? AS w)", [w]
+            ).fetchone()
+            assert tuple(duck) == (py6, pyf), w
+
+    def test_key_shape_properties(self):
+        import re
+
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            nysiis_py,
+        )
+
+        for w in _fuzz_words(seed=53):
+            k6 = nysiis_py(w)
+            kf = nysiis_py(w, max_len=0)
+            assert len(k6) <= 6 and k6 == kf[:6]
+            assert re.fullmatch("[A-Z]*", kf)
+            # first letter of the (head-transcoded) name survives
+            assert not kf or kf[0] in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+            # truncation is the ONLY difference between the two forms
+            assert kf.startswith(k6)
