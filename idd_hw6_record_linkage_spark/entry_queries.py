@@ -1041,6 +1041,89 @@ FROM m
 """
 
 
+def rl_sw_unit(spark, sf_dir):
+    """Smith-Waterman local alignment at the PROHIBITIVE-PENALTY
+    point (functions.alignment_sim.sw_unit_udf: match +1, mismatch
+    −100, gap 100): no alignment spending a mismatch or gap can beat
+    a pure exact run, so normalized SW collapses to
+    longest-common-substring / min-length — which DuckDB recomputes
+    independently with the same generate_series window enumeration
+    as SQL_RL_LCS. This upgrades the SW kernel from the invariant
+    gate (rl_sw_gate) to a VALUE-EXACT row-level contract on the
+    whole DP machinery, the same trick rl_editex_unit
+    (editex=2·levenshtein) and rl_nw_unit (nw=−levenshtein) use.
+    Same 40-char ASCII-sanitized slice basis as rl_lcs so the byte
+    and char bases coincide; slicing before the pair join keeps the
+    O(L²) kernel bounded at any scale."""
+    from idd_hw6_record_linkage_spark.functions.alignment_sim import (
+        sim_sw_unit,
+    )
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        40,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(s, F.lit("")).alias("s"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("s").alias("s_r"), "block_key"
+    )
+    return (
+        l.join(r, "block_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            F.round(sim_sw_unit("s_l", "s_r"), 6).alias("sw_unit_sim"),
+        )
+    )
+
+
+SQL_RL_SW_UNIT = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(substr(regexp_replace(lower(trim(text)),
+                                        '[^a-z0-9 ]', '', 'g'),
+                         1, 40), '') AS s,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.s AS s_l, b.s AS s_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+), w AS (
+  SELECT id_l, id_r, s_l, s_r,
+         CASE WHEN length(s_l) <= length(s_r) THEN s_l ELSE s_r END AS s,
+         CASE WHEN length(s_l) <= length(s_r) THEN s_r ELSE s_l END AS t
+  FROM p
+), m AS (
+  SELECT id_l, id_r, s_l, s_r, length(s) AS min_len,
+         CASE WHEN length(s) = 0 THEN 0 ELSE
+           list_max(list_transform(generate_series(1, length(s)), n ->
+             CASE WHEN len(list_filter(
+                          generate_series(1, length(s) - n + 1),
+                          i -> strpos(t, substr(s, CAST(i AS INTEGER),
+                                                CAST(n AS INTEGER))) > 0
+                        )) > 0
+                  THEN n ELSE 0 END))
+         END AS lcs
+  FROM w
+)
+SELECT id_l, id_r,
+       CAST(CASE WHEN s_l = s_r THEN 1.0
+                 WHEN min_len = 0 THEN 0.0
+                 ELSE round(lcs / CAST(min_len AS DOUBLE), 6)
+            END AS DOUBLE) AS sw_unit_sim
+FROM m
+"""
+
+
 def rl_editex_unit(spark, sf_dir):
     """Editex phonetic edit distance at the DEGENERATE cost point
     (functions.editex — Zobel & Dart SIGIR'96): with the group table
@@ -5664,6 +5747,7 @@ SELECT
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_nysiis_keys": rl_nysiis_keys,
+    "rl_sw_unit": rl_sw_unit,
     "rl_editex_unit": rl_editex_unit,
     "rl_editex_gate": rl_editex_gate,
     "rl_lcs": rl_lcs,
@@ -5687,7 +5771,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_edge_triangles": rl_edge_triangles,
     "rl_clusters_bridge_safe": rl_clusters_bridge_safe,
     "rl_soft_tfidf": rl_soft_tfidf,
-    "rl_sw_gate": rl_sw_gate,
     "rl_soundex_keys": rl_soundex_keys,
     "rl_monge_elkan": rl_monge_elkan,
     # behavior-changed this round (ADVICE fixes / join shrink) — keep
@@ -5723,6 +5806,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # join side); its oracle proves the values unchanged, so it yields
     # its prefix slot to the new NYSIIS contract query:
     "text_span_dup": text_span_dup,
+    # rl_sw_gate yields its prefix slot to rl_sw_unit — the unit pin is
+    # strictly stronger evidence on the same kernel (value-exact rows
+    # vs a constant-flag tripwire); the gate stays in the full sweep:
+    "rl_sw_gate": rl_sw_gate,
     "rl_soundex_blocks": rl_soundex_blocks,
     "rl_pair_token_sims": rl_pair_token_sims,
     "rl_gamma_patterns": rl_gamma_patterns,
@@ -5796,6 +5883,7 @@ ORACLES: dict[str, str] = {
     "rl_editex_unit": SQL_RL_EDITEX_UNIT,
     "rl_editex_gate": SQL_RL_EDITEX_GATE,
     "rl_lcs": SQL_RL_LCS,
+    "rl_sw_unit": SQL_RL_SW_UNIT,
     "rl_refined_soundex": SQL_RL_REFINED_SOUNDEX,
     "rl_nysiis_keys": SQL_RL_NYSIIS_KEYS,
     "rl_weighted_jaccard": SQL_RL_WEIGHTED_JACCARD,

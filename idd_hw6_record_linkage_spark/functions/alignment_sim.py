@@ -217,3 +217,30 @@ def sim_smith_waterman(l: Column | str, r: Column | str) -> Column:  # noqa: E74
     lc = F.col(l) if isinstance(l, str) else l
     rc = F.col(r) if isinstance(r, str) else r
     return smith_waterman_udf(lc, rc)
+
+
+@pandas_udf(DoubleType())
+def sw_unit_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Smith-Waterman at the PROHIBITIVE-PENALTY point (match +1,
+    mismatch −100, gap 100, snippets ≤ 40 chars): no alignment that
+    spends a single mismatch or gap can outscore a pure exact run, so
+    the max cell — and with the score/(match·min_len) normalization,
+    the whole output — collapses to longest-common-substring length
+    over min length. That makes this corner SQL-expressible: the
+    contract query ``rl_sw_unit`` pins the ENTIRE vectorized SW
+    machinery (zero floor, diagonal recurrence, left-gap collapse,
+    max-cell retirement, batch dedup + short-circuits) value-exactly
+    against DuckDB's independent substring-window enumeration — the
+    same epistemic trick as editex_unit (=2·levenshtein) and nw_unit
+    (=−levenshtein). General-parameter behavior is pinned by the
+    scalar-DP parity tests in tests/test_alignment_sim."""
+    out = _sw_batch(
+        s1.tolist(), s2.tolist(), match=1.0, mismatch=-100.0, gap=100.0
+    )
+    return pd.Series(out, dtype="float64")
+
+
+def sim_sw_unit(l: Column | str, r: Column | str) -> Column:  # noqa: E741
+    lc = F.col(l) if isinstance(l, str) else l
+    rc = F.col(r) if isinstance(r, str) else r
+    return sw_unit_udf(lc, rc)

@@ -115,3 +115,60 @@ class TestSparkUdf:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestSwUnitPoint:
+    """Prohibitive-penalty corner (sw_unit_udf): normalized SW must
+    equal longest-common-substring / min-length — the SQL-expressible
+    collapse rl_sw_unit's oracle pins. Brute-force LCS here is an
+    INDEPENDENT recomputation (substring set intersection), not the
+    kernel's DP."""
+
+    @staticmethod
+    def _lcs_brute(a: str, b: str) -> int:
+        if not a or not b:
+            return 0
+        subs = {
+            a[i:j]
+            for i in range(len(a))
+            for j in range(i + 1, len(a) + 1)
+        }
+        return max(
+            (
+                j - i
+                for i in range(len(b))
+                for j in range(i + 1, len(b) + 1)
+                if b[i:j] in subs
+            ),
+            default=0,
+        )
+
+    def test_unit_point_equals_lcs_over_min(self):
+        import random
+
+        from idd_hw6_record_linkage_spark.functions.alignment_sim import (
+            _sw_batch,
+        )
+
+        rng = random.Random(411)
+        pairs = [("", ""), ("", "a"), ("ab", "ab"), ("abc", "xbcz")]
+        for _ in range(300):
+            n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+            a = "".join(rng.choice("abcd ") for _ in range(n1))
+            b = "".join(rng.choice("abcd ") for _ in range(n2))
+            pairs.append((a, b))
+        got = _sw_batch(
+            [p[0] for p in pairs],
+            [p[1] for p in pairs],
+            match=1.0,
+            mismatch=-100.0,
+            gap=100.0,
+        )
+        for k, (a, b) in enumerate(pairs):
+            if a == b:
+                exp = 1.0
+            elif not a or not b:
+                exp = 0.0
+            else:
+                exp = self._lcs_brute(a, b) / min(len(a), len(b))
+            assert abs(got[k] - exp) < 1e-12, (a, b, got[k], exp)
