@@ -5737,6 +5737,127 @@ SELECT
 """
 
 
+_MATCH_RULES_DOC = """
+Deterministic match-rule waterfall (MDM-style cascade) with per-pair
+provenance — first-true-wins over the blocked candidate pairs:
+  rank 1 exact_prefix : identical 40-char text prefix
+  rank 2 tight_edit   : levenshtein(prefix40) <= 20
+  rank 3 strong_tokens: token Jaccard >= 0.7
+  rank 4 len_tokens   : |n_chars diff| <= 10 AND token Jaccard >= 0.45
+  no rule             : matched_rule NULL (declined pair)
+Comparator bases are byte-identical to rl_pair_features (C3/C6/C5,
+reference record_linkage.py:271-381); the cascade itself is ONE
+map-only CASE chain (operators/match_rules.py) — zero extra shuffles.
+"""
+
+
+def _match_rule_pairs(spark, sf_dir):
+    from idd_hw6_record_linkage_spark.operators.match_rules import (
+        apply_match_rules,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("t40"),
+        F.array_distinct(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"), lambda t: F.xxhash64(t)
+            )
+        ).alias("toks"),
+        F.col("n_chars").cast("double").alias("nc"),
+        _block_key().alias("block_key"),
+    )
+    l = docs.select(  # noqa: E741
+        F.col("doc_id").alias("id_l"), F.col("t40").alias("t40_l"),
+        F.col("toks").alias("toks_l"), F.col("nc").alias("nc_l"), "block_key",
+    )
+    r = docs.select(
+        F.col("doc_id").alias("id_r"), F.col("t40").alias("t40_r"),
+        F.col("toks").alias("toks_r"), F.col("nc").alias("nc_r"), "block_key",
+    )
+    pairs = l.join(r, "block_key").where(F.col("id_l") < F.col("id_r"))
+    jac = F.size(F.array_intersect("toks_l", "toks_r")) / F.size(
+        F.array_union("toks_l", "toks_r")
+    ).cast("double")
+    rules = [
+        ("exact_prefix", F.col("t40_l") == F.col("t40_r")),
+        ("tight_edit", F.levenshtein("t40_l", "t40_r") <= 20),
+        ("strong_tokens", jac >= 0.7),
+        (
+            "len_tokens",
+            (F.abs(F.col("nc_l") - F.col("nc_r")) <= 10) & (jac >= 0.45),
+        ),
+    ]
+    return apply_match_rules(pairs, rules)
+
+
+def rl_match_rules(spark, sf_dir):
+    return _match_rule_pairs(spark, sf_dir).select(
+        "id_l", "id_r", "matched_rule", "rule_rank"
+    )
+
+
+_MATCH_RULES_CASE_SQL = """
+    CASE WHEN t40_l = t40_r THEN {which}
+         WHEN levenshtein(t40_l, t40_r) <= 20 THEN {which2}
+         WHEN len(list_intersect(toks_l, toks_r)) * 1.0
+              / len(list_distinct(list_concat(toks_l, toks_r))) >= 0.7
+           THEN {which3}
+         WHEN abs(nc_l - nc_r) <= 10
+              AND len(list_intersect(toks_l, toks_r)) * 1.0
+                  / len(list_distinct(list_concat(toks_l, toks_r))) >= 0.45
+           THEN {which4}
+         ELSE NULL END
+"""
+
+_MATCH_RULES_PAIR_CTE = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 40) AS t40,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         CAST(n_chars AS DOUBLE) AS nc,
+         {_BLOCK_KEY_SQL} AS block_key
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         a.t40 AS t40_l, b.t40 AS t40_r,
+         a.toks AS toks_l, b.toks AS toks_r,
+         a.nc AS nc_l, b.nc AS nc_r
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+"""
+
+SQL_RL_MATCH_RULES = (
+    _MATCH_RULES_PAIR_CTE
+    + "SELECT id_l, id_r, "
+    + _MATCH_RULES_CASE_SQL.format(
+        which="'exact_prefix'", which2="'tight_edit'",
+        which3="'strong_tokens'", which4="'len_tokens'",
+    )
+    + " AS matched_rule, CAST("
+    + _MATCH_RULES_CASE_SQL.format(which="1", which2="2", which3="3", which4="4")
+    + " AS INTEGER) AS rule_rank FROM p"
+)
+
+
+def rl_match_rule_stats(spark, sf_dir):
+    from idd_hw6_record_linkage_spark.operators.match_rules import rule_stats
+
+    return rule_stats(_match_rule_pairs(spark, sf_dir)).select(
+        "matched_rule", F.col("n_pairs").cast("long").alias("n_pairs")
+    )
+
+
+SQL_RL_MATCH_RULE_STATS = (
+    _MATCH_RULES_PAIR_CTE
+    + "SELECT "
+    + _MATCH_RULES_CASE_SQL.format(
+        which="'exact_prefix'", which2="'tight_edit'",
+        which3="'strong_tokens'", which4="'len_tokens'",
+    )
+    + " AS matched_rule, CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1"
+)
+
+
 # --- registry -----------------------------------------------------------------
 
 # ORDERING POLICY: the driver's CORRECTNESS artifact checks the FIRST
@@ -5746,10 +5867,11 @@ SELECT
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_match_rules": rl_match_rules,
+    "rl_match_rule_stats": rl_match_rule_stats,
     "rl_nysiis_keys": rl_nysiis_keys,
     "rl_sw_unit": rl_sw_unit,
     "rl_editex_unit": rl_editex_unit,
-    "rl_editex_gate": rl_editex_gate,
     "rl_lcs": rl_lcs,
     "rl_suffix_blocks": rl_suffix_blocks,
     "rl_setsim_join": rl_setsim_join,
@@ -5766,7 +5888,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_cluster_gmd": rl_cluster_gmd,
     "rl_cluster_muc": rl_cluster_muc,
     "rl_cluster_ari": rl_cluster_ari,
-    "rl_cluster_vmeasure": rl_cluster_vmeasure,
     "rl_score_ap": rl_score_ap,
     "rl_edge_triangles": rl_edge_triangles,
     "rl_clusters_bridge_safe": rl_clusters_bridge_safe,
@@ -5806,10 +5927,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # join side); its oracle proves the values unchanged, so it yields
     # its prefix slot to the new NYSIIS contract query:
     "text_span_dup": text_span_dup,
-    # rl_sw_gate yields its prefix slot to rl_sw_unit — the unit pin is
-    # strictly stronger evidence on the same kernel (value-exact rows
-    # vs a constant-flag tripwire); the gate stays in the full sweep:
+    # rl_sw_gate / rl_editex_gate yield their prefix slots to
+    # rl_sw_unit / rl_editex_unit — the unit pins are strictly stronger
+    # evidence on the same kernels (value-exact rows vs constant-flag
+    # tripwires); the gates stay in the full sweep. rl_cluster_vmeasure
+    # yields its slot to the new match-rule waterfall: the cluster-metric
+    # family (GMD, MUC, ARI) keeps three in-prefix members on the same
+    # truth/cluster bases:
     "rl_sw_gate": rl_sw_gate,
+    "rl_editex_gate": rl_editex_gate,
+    "rl_cluster_vmeasure": rl_cluster_vmeasure,
     "rl_soundex_blocks": rl_soundex_blocks,
     "rl_pair_token_sims": rl_pair_token_sims,
     "rl_gamma_patterns": rl_gamma_patterns,
@@ -5877,6 +6004,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rl_match_rules": SQL_RL_MATCH_RULES,
+    "rl_match_rule_stats": SQL_RL_MATCH_RULE_STATS,
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,
     "rl_setsim_join": SQL_RL_SETSIM_JOIN,
     "rl_qgram_cosine": SQL_RL_QGRAM_COSINE,

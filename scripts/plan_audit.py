@@ -70,6 +70,8 @@ AUDITED = [
     "rl_lcs",
     "rl_editex_unit",
     "rl_label_sample",
+    "rl_match_rules",
+    "rl_match_rule_stats",
     "rl_pair_token_sims",
     "rl_gamma_patterns",
     "rl_rare_token_blocks",
