@@ -3023,6 +3023,72 @@ FROM pr
 """
 
 
+def rl_cluster_exact(spark, sf_dir):
+    """Exact whole-cluster agreement (operators.evaluation.
+    exact_cluster_match — the CEAF-φ3 "same member set" count) of the
+    linkage clustering vs the exact-text truth: the strictest lens in
+    the cluster-metric family — B³/ARI/MUC/GMD award partial credit,
+    this row counts entities that came out PERFECT, needing no repair.
+    Same pred/truth basis as the other cluster metrics; contingency
+    cells joined to per-side sizes on cluster ids (rows = number of
+    clusters, never records), one final aggregate."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import (
+        exact_cluster_match,
+    )
+
+    pred = rl_clusters(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("text").isNull(),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.md5("text"))
+        .alias("truth_id"),
+    )
+    return exact_cluster_match(pred, truth)
+
+
+SQL_RL_CLUSTER_EXACT = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+tr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN text IS NULL
+              THEN 'null:' || CAST(doc_id AS VARCHAR)
+              ELSE md5(text) END AS truth_id
+  FROM documents
+), j AS (
+  SELECT cl.entity_id AS c, tr.truth_id AS t
+  FROM cl JOIN tr USING (url)
+), cells AS (SELECT c, t, count(*) AS n_ct FROM j GROUP BY 1, 2),
+nc AS (SELECT c, count(*) AS n_c FROM j GROUP BY 1),
+nt AS (SELECT t, count(*) AS n_t FROM j GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(n_ct) AS BIGINT) AS n_records,
+         CAST(count(DISTINCT cells.c) AS BIGINT) AS n_pred_clusters,
+         CAST(count(DISTINCT cells.t) AS BIGINT) AS n_truth_clusters,
+         CAST(sum(CASE WHEN n_ct = n_c AND n_ct = n_t THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exact_clusters
+  FROM cells JOIN nc USING (c) JOIN nt USING (t)
+), pr AS (
+  SELECT n_records, n_pred_clusters, n_truth_clusters, n_exact_clusters,
+         CASE WHEN n_pred_clusters > 0
+              THEN n_exact_clusters * 1.0 / n_pred_clusters
+              WHEN n_truth_clusters = 0 THEN 1.0 ELSE 0.0 END AS p,
+         CASE WHEN n_truth_clusters > 0
+              THEN n_exact_clusters * 1.0 / n_truth_clusters
+              WHEN n_pred_clusters = 0 THEN 1.0 ELSE 0.0 END AS r
+  FROM agg
+)
+SELECT n_records, n_pred_clusters, n_truth_clusters, n_exact_clusters,
+       CAST(round(p, 6) AS DOUBLE) AS cluster_precision,
+       CAST(round(r, 6) AS DOUBLE) AS cluster_recall,
+       CAST(round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                       ELSE 0.0 END, 6) AS DOUBLE) AS cluster_f1
+FROM pr
+"""
+
+
 def rl_score_ap(spark, sf_dir):
     """Tie-grouped average precision (operators.evaluation.
     average_precision) of the pair score against the same synthetic
@@ -5886,7 +5952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_qgram_blocks": rl_qgram_blocks,
     "rl_label_sample": rl_label_sample,
     "rl_cluster_gmd": rl_cluster_gmd,
-    "rl_cluster_muc": rl_cluster_muc,
+    "rl_cluster_exact": rl_cluster_exact,
     "rl_cluster_ari": rl_cluster_ari,
     "rl_score_ap": rl_score_ap,
     "rl_edge_triangles": rl_edge_triangles,
@@ -5931,12 +5997,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rl_sw_unit / rl_editex_unit — the unit pins are strictly stronger
     # evidence on the same kernels (value-exact rows vs constant-flag
     # tripwires); the gates stay in the full sweep. rl_cluster_vmeasure
-    # yields its slot to the new match-rule waterfall: the cluster-metric
-    # family (GMD, MUC, ARI) keeps three in-prefix members on the same
-    # truth/cluster bases:
+    # and rl_cluster_muc yield their slots to the new match-rule
+    # waterfall and exact-cluster-match queries: the cluster-metric
+    # family (GMD, EXACT, ARI) keeps three in-prefix members on the
+    # same shared truth/cluster bases:
     "rl_sw_gate": rl_sw_gate,
     "rl_editex_gate": rl_editex_gate,
     "rl_cluster_vmeasure": rl_cluster_vmeasure,
+    "rl_cluster_muc": rl_cluster_muc,
     "rl_soundex_blocks": rl_soundex_blocks,
     "rl_pair_token_sims": rl_pair_token_sims,
     "rl_gamma_patterns": rl_gamma_patterns,
@@ -6024,6 +6092,7 @@ ORACLES: dict[str, str] = {
     "rl_qgram_blocks": SQL_RL_QGRAM_BLOCKS,
     "rl_label_sample": SQL_RL_LABEL_SAMPLE,
     "rl_cluster_gmd": SQL_RL_CLUSTER_GMD,
+    "rl_cluster_exact": SQL_RL_CLUSTER_EXACT,
     "rl_cluster_muc": SQL_RL_CLUSTER_MUC,
     "rl_cluster_ari": SQL_RL_CLUSTER_ARI,
     "rl_cluster_vmeasure": SQL_RL_CLUSTER_VMEASURE,

@@ -650,3 +650,82 @@ def generalized_merge_distance(
         .otherwise(F.lit(0.0))
         .alias("gmd_norm"),
     )
+
+
+def exact_cluster_match(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "entity_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Exact whole-cluster agreement (the CEAF-style φ3 "same member
+    set" count; Luo EMNLP'05 uses it as the similarity kernel): a
+    predicted cluster scores iff its member set IS a truth cluster,
+    member for member. The strictest lens in the family — B³/ARI/MUC
+    award partial credit for almost-right clusters, this one answers
+    the steward's question "how many entities came out perfectly,
+    needing no repair at all".
+
+    A predicted cluster c equals a truth cluster t iff their
+    contingency cell is saturated both ways: n_ct = n_c = n_t. Each
+    side participates in at most one such cell, so the exact count is
+    one SUM over cells — no assignment problem is needed for the
+    exact-match kernel (the general CEAF similarity kernels do need
+    the Kuhn-Munkres assignment and are deliberately out of scope:
+    a driver-side Hungarian over |C|×|T| does not distribute).
+
+    Plan: id join → one groupBy per side + the cell groupBy, two
+    cluster-id equi-joins (shuffle keys = cluster ids, rows = number
+    of clusters, never records), one final aggregate. Scale-safe at
+    any cluster-size skew. Convention: an empty side yields
+    precision/recall 1.0 when the other is empty too (nothing to get
+    wrong), else 0.0 — mirrored in the SQL oracle.
+    """
+    j = pred.select(
+        F.col(id_col).alias("__id"), F.col(pred_col).alias("__c")
+    ).join(
+        truth.select(
+            F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")
+        ),
+        "__id",
+    )
+    cells = j.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("n_ct"))
+    nc = j.groupBy("__c").agg(F.count(F.lit(1)).alias("n_c"))
+    nt = j.groupBy("__t").agg(F.count(F.lit(1)).alias("n_t"))
+    agg = (
+        cells.join(nc, "__c")
+        .join(nt, "__t")
+        .agg(
+            F.sum("n_ct").cast("long").alias("n_records"),
+            F.countDistinct("__c").cast("long").alias("n_pred_clusters"),
+            F.countDistinct("__t").cast("long").alias("n_truth_clusters"),
+            F.sum(
+                F.when(
+                    (F.col("n_ct") == F.col("n_c"))
+                    & (F.col("n_ct") == F.col("n_t")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_exact_clusters"),
+        )
+    )
+    p = F.when(
+        F.col("n_pred_clusters") > 0,
+        F.col("n_exact_clusters") / F.col("n_pred_clusters").cast("double"),
+    ).otherwise(F.when(F.col("n_truth_clusters") == 0, 1.0).otherwise(0.0))
+    r = F.when(
+        F.col("n_truth_clusters") > 0,
+        F.col("n_exact_clusters") / F.col("n_truth_clusters").cast("double"),
+    ).otherwise(F.when(F.col("n_pred_clusters") == 0, 1.0).otherwise(0.0))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_records",
+        "n_pred_clusters",
+        "n_truth_clusters",
+        "n_exact_clusters",
+        F.round(p, 6).alias("cluster_precision"),
+        F.round(r, 6).alias("cluster_recall"),
+        F.round(f1, 6).alias("cluster_f1"),
+    )

@@ -66,6 +66,7 @@ AUDITED = [
     "rl_edit_join",
     "rl_weighted_jaccard",
     "rl_cluster_gmd",
+    "rl_cluster_exact",
     "rl_refined_soundex",
     "rl_lcs",
     "rl_editex_unit",
