@@ -162,6 +162,12 @@ HEADLINE_QUERIES = [
     "rl_lcs",
     # Editex phonetic edit distance (Arrow kernel, unit-cost pin)
     "rl_editex_unit",
+    # Match-rule waterfall: ONE map-only CASE cascade over the pair
+    # join — provenance should cost (near) nothing on top of the join,
+    # and this row proves it. rl_cluster_exact stays off the clock
+    # with the other cluster metrics (shared upstream clustering rerun
+    # dominates).
+    "rl_match_rules",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

@@ -389,6 +389,57 @@ def main() -> None:
     out["editex_bad_unit"] = ex["bad_unit"]
     out["editex_sec"] = round(time.time() - t0, 1)
 
+    # ---- Match-rule waterfall over planted pair buckets -----------------
+    # m pairs in four equal closed-form buckets by id%4:
+    #   0: identical 12-char name            -> rule 1 (exact_name)
+    #   1: 'x' overlaid at pos 3 (lev = 1,   -> rule 2 (tight_edit)
+    #      'x' is outside the hex alphabet)
+    #   2: name all-'z' (lev = 12 > 2),      -> rule 3 (same_zip)
+    #      zip equal
+    #   3: name all-'z', zip overlaid 'q'    -> no rule (NULL)
+    # Buckets 0-2 all keep zip equal, so first-true-wins is exercised:
+    # a rule-priority bug (or CASE-order regression) shifts the counts.
+    # The cascade is ONE map-only CASE chain — this measures that
+    # provenance costs ~a column scan, nothing more.
+    from idd_hw6_record_linkage_spark.operators.match_rules import (
+        apply_match_rules,
+        rule_stats,
+    )
+
+    t0 = time.time()
+    m = (n // 2) // 4 * 4
+    base = F.substring(F.md5(F.col("id").cast("string")), 1, 12)
+    zbase = F.substring(F.md5((F.col("id") + 7).cast("string")), 1, 5)
+    mr_pairs = spark.range(m).select(
+        base.alias("name_l"),
+        F.when(F.col("id") % 4 == 0, base)
+        .when(F.col("id") % 4 == 1, F.overlay(base, F.lit("x"), 3, F.lit(1)))
+        .otherwise(F.lit("z" * 12))
+        .alias("name_r"),
+        zbase.alias("zip_l"),
+        F.when(F.col("id") % 4 == 3, F.overlay(zbase, F.lit("q"), 1, F.lit(1)))
+        .otherwise(zbase)
+        .alias("zip_r"),
+    )
+    wf = apply_match_rules(
+        mr_pairs,
+        [
+            ("exact_name", F.col("name_l") == F.col("name_r")),
+            ("tight_edit", F.levenshtein("name_l", "name_r") <= 2),
+            ("same_zip", F.col("zip_l") == F.col("zip_r")),
+        ],
+    )
+    stats = {
+        (r["matched_rule"] or "-"): r["n_pairs"]
+        for r in rule_stats(wf).collect()
+    }
+    out["match_rules_pairs"] = m
+    out["match_rules_bad"] = sum(
+        abs(stats.get(k, 0) - m // 4)
+        for k in ("exact_name", "tight_edit", "same_zip", "-")
+    )
+    out["match_rules_sec"] = round(time.time() - t0, 1)
+
     print(json.dumps(out))
 
 
