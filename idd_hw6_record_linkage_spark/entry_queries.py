@@ -1840,6 +1840,51 @@ SELECT id AS url, min(r) AS entity_id FROM reach GROUP BY id
 """
 
 
+def rl_retract_records(spark, sf_dir):
+    """Batch record retraction (operators.retract.retract_records —
+    the GDPR/CCPA-erasure counterpart to rl_attach_increment): every
+    doc with doc_id % 37 == 0 is erased from the resolved corpus and
+    only the clusters they touched re-run connected components, on
+    their remaining edges. The operator's contract is value-identity
+    with a from-scratch re-clustering of the filtered match graph —
+    which is exactly what the oracle recomputes (the rl_clusters
+    recursive-CTE fixpoint with the removed ids filtered out of both
+    the edge set and the id universe), so the repair-only path cannot
+    silently diverge from the full re-run."""
+    from idd_hw6_record_linkage_spark.operators.retract import (
+        retract_records,
+    )
+
+    clusters = rl_clusters(spark, sf_dir)
+    edges = rl_match_edges(spark, sf_dir).select(
+        F.col("id_l").cast("string").alias("id_l"),
+        F.col("id_r").cast("string").alias("id_r"),
+    )
+    removed = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 37 == 0)
+        .select(F.col("doc_id").cast("string").alias("url"))
+    )
+    return retract_records(clusters, edges, removed)
+
+
+SQL_RL_RETRACT_RECORDS = f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(id_l AS VARCHAR) AS u, CAST(id_r AS VARCHAR) AS v
+  FROM ({SQL_RL_MATCH_EDGES})
+  WHERE id_l % 37 <> 0 AND id_r % 37 <> 0
+), e AS (
+  SELECT u, v FROM base UNION ALL SELECT v, u FROM base
+), reach(id, r) AS (
+  SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 37 <> 0
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r
+)
+SELECT id AS url, min(r) AS entity_id FROM reach GROUP BY id
+"""
+
+
 def rl_fs_tf_bands(spark, sf_dir):
     """Splink-style term-frequency-adjusted FS weights + the 1969
     three-way decision rule (operators.fellegi_sunter.tf_adjusted_weight
@@ -5933,6 +5978,7 @@ SQL_RL_MATCH_RULE_STATS = (
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_retract_records": rl_retract_records,
     "rl_match_rules": rl_match_rules,
     "rl_match_rule_stats": rl_match_rule_stats,
     "rl_nysiis_keys": rl_nysiis_keys,
@@ -5958,7 +6004,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_edge_triangles": rl_edge_triangles,
     "rl_clusters_bridge_safe": rl_clusters_bridge_safe,
     "rl_soft_tfidf": rl_soft_tfidf,
-    "rl_soundex_keys": rl_soundex_keys,
     "rl_monge_elkan": rl_monge_elkan,
     # behavior-changed this round (ADVICE fixes / join shrink) — keep
     # inside the driver's checked prefix:
@@ -6005,6 +6050,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_editex_gate": rl_editex_gate,
     "rl_cluster_vmeasure": rl_cluster_vmeasure,
     "rl_cluster_muc": rl_cluster_muc,
+    # rl_soundex_keys yields its slot to the retraction query; its
+    # module stays in-prefix via rl_refined_soundex (same pass-table
+    # discipline, same file), and classic soundex stays in the sweep:
+    "rl_soundex_keys": rl_soundex_keys,
     "rl_soundex_blocks": rl_soundex_blocks,
     "rl_pair_token_sims": rl_pair_token_sims,
     "rl_gamma_patterns": rl_gamma_patterns,
@@ -6072,6 +6121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rl_retract_records": SQL_RL_RETRACT_RECORDS,
     "rl_match_rules": SQL_RL_MATCH_RULES,
     "rl_match_rule_stats": SQL_RL_MATCH_RULE_STATS,
     "rl_suffix_blocks": SQL_RL_SUFFIX_BLOCKS,

@@ -95,6 +95,7 @@ AUDITED = [
     "rl_soft_tfidf",
     "rl_sw_gate",
     "rl_attach_increment",
+    "rl_retract_records",
     "rl_threshold_sweep",
     "dedup_lines",
     "pii_redact",
