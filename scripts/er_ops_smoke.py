@@ -1,9 +1,10 @@
 """Scale smoke for the entity-resolution operator family added in
 round 5: synthesize multi-million-row inputs (deterministic, no
 external data), run sorted-neighborhood blocking, meta-blocking,
-mutual-best 1:1 resolution, survivorship, batch attachment, cluster
-audit, B-cubed and the threshold sweep end-to-end, and print one
-timing row each plus sanity counters.
+mutual-best 1:1 resolution, survivorship, batch attachment, record
+retraction, the match-rule waterfall, cluster audit, B-cubed and the
+threshold sweep end-to-end, and print one timing row each plus sanity
+counters (every section's expected counts are closed-form).
 
 Usage: python scripts/er_ops_smoke.py [n_records] [cpus]
 Defaults: 2_000_000 records, 32 cores. Prints one JSON line at the end.
@@ -439,6 +440,58 @@ def main() -> None:
         for k in ("exact_name", "tight_edit", "same_zip", "-")
     )
     out["match_rules_sec"] = round(time.time() - t0, 1)
+
+    # ---- Record retraction over a resolved 4-member-chain corpus --------
+    # n/4 entities, members e_m0..e_m3 linked as a path (3 edges each);
+    # the resolved assignment is closed-form (label = _m0 member), so
+    # the section times ONLY the retraction repair. Remove _m1 of every
+    # 8th entity: each such chain splits into {_m0} and {_m2,_m3} —
+    # rows out = n − n/32, distinct labels = n/4 + n/32, both exact.
+    # The repair CC runs on n/32 two-node edges regardless of corpus
+    # size — the affected-subgraph-only claim, measured.
+    from idd_hw6_record_linkage_spark.operators.retract import (
+        retract_records,
+    )
+
+    t0 = time.time()
+    ents = n // 4
+    ent = F.format_string("e%08d", F.col("id"))
+    members = spark.range(ents).select(
+        F.explode(
+            F.array(*[F.concat(ent, F.lit(f"_m{i}")) for i in range(4)])
+        ).alias("url"),
+        F.concat(ent, F.lit("_m0")).alias("entity_id"),
+    )
+    chain_edges = spark.range(ents).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.concat(ent, F.lit(f"_m{i}")).alias("id_l"),
+                        F.concat(ent, F.lit(f"_m{i + 1}")).alias("id_r"),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("e")
+    ).select("e.id_l", "e.id_r")
+    rm = (
+        spark.range(ents)
+        .where(F.col("id") % 8 == 0)
+        .select(F.concat(ent, F.lit("_m1")).alias("url"))
+    )
+    res = retract_records(members, chain_edges, rm)
+    agg = res.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("entity_id").alias("labels"),
+    ).collect()[0]
+    k = (ents + 7) // 8
+    out["retract_rows"] = agg["rows"]
+    out["retract_labels"] = agg["labels"]
+    out["retract_bad"] = abs(agg["rows"] - (n - k)) + abs(
+        agg["labels"] - (ents + k)
+    )
+    out["retract_sec"] = round(time.time() - t0, 1)
 
     print(json.dumps(out))
 
