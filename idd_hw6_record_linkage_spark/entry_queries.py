@@ -2630,6 +2630,106 @@ FROM part
 SQL_RL_NYSIIS_KEYS = _sql_nysiis_query()
 
 
+def rl_mra(spark, sf_dir):
+    """Match Rating Approach codex + similarity-rating comparison
+    (functions.mra — Western Airlines 1977, the third classic
+    phonetic family next to Soundex/NYSIIS and the only one that
+    ships its OWN matcher). Codices over the cleaned first-name
+    token of each part (same basis as rl_soundex_keys); pairs within
+    (p_brand, p_size) blocks — bounded block sizes at every SF,
+    so the quadratic never escapes a block. Every column is a native
+    unrolled expression (codices are <=6 chars by construction) and
+    the DuckDB oracle recomputes codex, rating, length gate, and
+    acceptance threshold from scratch — value-exact at the row level.
+    Reference anchor: SURVEY §2.3 (the reference's only blocking keys
+    are synonym-map + prefix)."""
+    from idd_hw6_record_linkage_spark.functions.mra import (
+        mra_codex,
+        mra_comparable,
+        mra_min_rating,
+        mra_rating,
+    )
+
+    tok = F.upper(F.split(F.col("p_name"), " ").getItem(0))
+    parts = _scan(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("psize"),
+        tok.alias("tok"),
+        mra_codex(tok).alias("mra"),
+    )
+    l = parts.select(  # noqa: E741
+        F.col("p_partkey").alias("id_l"),
+        F.col("tok").alias("tok_l"),
+        F.col("mra").alias("mra_l"),
+        "brand",
+        "psize",
+    )
+    r = parts.select(
+        F.col("p_partkey").alias("id_r"),
+        F.col("tok").alias("tok_r"),
+        F.col("mra").alias("mra_r"),
+        "brand",
+        "psize",
+    )
+    rating = mra_rating("mra_l", "mra_r")
+    minr = mra_min_rating("mra_l", "mra_r")
+    cmp_ok = mra_comparable("mra_l", "mra_r")
+    return (
+        l.join(r, ["brand", "psize"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            "tok_l",
+            "tok_r",
+            "mra_l",
+            "mra_r",
+            rating.alias("rating"),
+            minr.alias("min_rating"),
+            cmp_ok.alias("comparable"),
+            (cmp_ok & (rating >= minr)).alias("is_match"),
+        )
+    )
+
+
+def _sql_mra_query() -> str:
+    from idd_hw6_record_linkage_spark.functions.mra import (
+        mra_codex_sql,
+        mra_comparable_sql,
+        mra_min_rating_sql,
+        mra_rating_sql,
+    )
+
+    tok = "upper(split_part(p_name, ' ', 1))"
+    fa_expr, fb_expr, rating = mra_rating_sql("mra_l", "mra_r")
+    minr = mra_min_rating_sql("mra_l", "mra_r")
+    cmp_ok = mra_comparable_sql("mra_l", "mra_r")
+    return f"""
+WITH c AS (
+  SELECT p_partkey, p_brand, p_size, {tok} AS tok,
+         {mra_codex_sql(tok)} AS mra
+  FROM part
+), p AS (
+  SELECT a.p_partkey AS id_l, b.p_partkey AS id_r,
+         a.tok AS tok_l, b.tok AS tok_r, a.mra AS mra_l, b.mra AS mra_r
+  FROM c a JOIN c b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+), f AS (
+  SELECT *, {fa_expr} AS __mra_fa, {fb_expr} AS __mra_fb FROM p
+)
+SELECT id_l, id_r, tok_l, tok_r, mra_l, mra_r,
+       {rating} AS rating, {minr} AS min_rating,
+       {cmp_ok} AS comparable,
+       CAST(({cmp_ok}) AND ({rating}) >= ({minr}) AS BOOLEAN) AS is_match
+FROM f
+"""
+
+
+SQL_RL_MRA = _sql_mra_query()
+
+
 def rl_monge_elkan(spark, sf_dir):
     """Monge-Elkan hybrid token-set similarity over the candidate
     pairs (functions.monge_elkan) — the comparator between whole-string
@@ -5978,6 +6078,7 @@ SQL_RL_MATCH_RULE_STATS = (
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_mra": rl_mra,
     "rl_retract_records": rl_retract_records,
     "rl_match_rules": rl_match_rules,
     "rl_match_rule_stats": rl_match_rule_stats,
@@ -6121,6 +6222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rl_mra": SQL_RL_MRA,
     "rl_retract_records": SQL_RL_RETRACT_RECORDS,
     "rl_match_rules": SQL_RL_MATCH_RULES,
     "rl_match_rule_stats": SQL_RL_MATCH_RULE_STATS,
