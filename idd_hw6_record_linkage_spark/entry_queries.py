@@ -2730,6 +2730,82 @@ FROM f
 SQL_RL_MRA = _sql_mra_query()
 
 
+def rl_canopy_blocks(spark, sf_dir):
+    """Canopy blocking (operators.canopy — McCallum/Nigam/Ungar KDD
+    2000) over the documents table: deterministic hash-fate-sampled
+    centers (center_rate=0.2 on the md5 fate basis shared with
+    operators.sampling), one inverted-index token join, set Jaccard
+    over df-capped whitespace tokens, loose/tight thresholds
+    t1=0.3 / t2=0.7, singleton fallback so every record lands in a
+    canopy. The DuckDB oracle recomputes fate sample, df cap, sizes,
+    overlap join, Jaccard, thresholds and the singleton anti-join from
+    scratch — value-exact. Scale: fan-out per token bounded by
+    max_df² × center_rate; all shuffles are hash joins/aggregates on
+    token or id keys (see module docstring)."""
+    from idd_hw6_record_linkage_spark.operators.canopy import canopy_blocks
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.lower(F.trim("text")), r"\s+").alias("toks"),
+    )
+    return canopy_blocks(
+        docs,
+        "doc_id",
+        "toks",
+        center_rate=0.2,
+        t1=0.3,
+        t2=0.7,
+        max_df=200,
+    )
+
+
+_SQL_CANOPY_FATE = (
+    "('0x' || substr(md5('canopy' || CAST(id AS VARCHAR)), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+SQL_RL_CANOPY_BLOCKS = f"""
+WITH toks1 AS (
+  SELECT id, token FROM (
+    SELECT doc_id AS id,
+           unnest(list_distinct(
+             regexp_split_to_array(lower(trim(text)), '\\s+'))) AS token
+    FROM documents
+  ) WHERE token IS NOT NULL AND token <> ''
+), freq AS (
+  SELECT token, count(*) AS df FROM toks1 GROUP BY token
+), toks AS (
+  SELECT t.id, t.token FROM toks1 t JOIN freq f USING (token)
+  WHERE f.df <= 200
+), sizes AS (
+  SELECT id, count(*) AS n FROM toks GROUP BY id
+), centers AS (
+  SELECT id AS canopy_id, token FROM toks
+  WHERE {_SQL_CANOPY_FATE} < 0.2
+), ov AS (
+  SELECT t.id, c.canopy_id, count(*) AS ov
+  FROM toks t JOIN centers c USING (token)
+  GROUP BY 1, 2
+), jac AS (
+  SELECT o.id, o.canopy_id,
+         o.ov / CAST(s1.n + s2.n - o.ov AS DOUBLE) AS j
+  FROM ov o
+  JOIN sizes s1 ON s1.id = o.id
+  JOIN sizes s2 ON s2.id = o.canopy_id
+), mem AS (
+  SELECT id AS url, canopy_id, CAST(round(j, 6) AS DOUBLE) AS jaccard,
+         j >= 0.7 AS is_tight
+  FROM jac WHERE j >= 0.3
+)
+SELECT url, canopy_id, jaccard, is_tight FROM mem
+UNION ALL
+SELECT d.doc_id AS url, d.doc_id AS canopy_id,
+       CAST(1.0 AS DOUBLE) AS jaccard, TRUE AS is_tight
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM mem m WHERE m.url = d.doc_id)
+"""
+
+
 def rl_monge_elkan(spark, sf_dir):
     """Monge-Elkan hybrid token-set similarity over the candidate
     pairs (functions.monge_elkan) — the comparator between whole-string
@@ -6079,6 +6155,7 @@ SQL_RL_MATCH_RULE_STATS = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_mra": rl_mra,
+    "rl_canopy_blocks": rl_canopy_blocks,
     "rl_retract_records": rl_retract_records,
     "rl_match_rules": rl_match_rules,
     "rl_match_rule_stats": rl_match_rule_stats,
@@ -6223,6 +6300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "rl_mra": SQL_RL_MRA,
+    "rl_canopy_blocks": SQL_RL_CANOPY_BLOCKS,
     "rl_retract_records": SQL_RL_RETRACT_RECORDS,
     "rl_match_rules": SQL_RL_MATCH_RULES,
     "rl_match_rule_stats": SQL_RL_MATCH_RULE_STATS,
