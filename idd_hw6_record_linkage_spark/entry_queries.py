@@ -2806,6 +2806,144 @@ WHERE NOT EXISTS (SELECT 1 FROM mem m WHERE m.url = d.doc_id)
 """
 
 
+def rl_star_clusters(spark, sf_dir):
+    """One-round star clustering of the match graph
+    (operators.graph_clustering.star_clusters — Aslam/Pelekhov/Rus,
+    deterministic parallel form): centers are local maxima of the
+    (degree DESC, id ASC) dominance order, satellites attach to their
+    best adjacent center, singleton fallback otherwise. The
+    precision-biased alternative to connected components — no
+    chaining through a center, every cluster is a radius-1 star. The
+    DuckDB oracle recomputes degrees, dominance, center selection,
+    the best-center window and both fallbacks from scratch —
+    value-exact. Scale: hash aggregations/joins on node ids; the
+    assignment window ranks only each satellite's ADJACENT centers
+    (bounded by its degree, which upstream block caps bound)."""
+    from idd_hw6_record_linkage_spark.operators.graph_clustering import (
+        star_clusters,
+    )
+
+    edges = rl_match_edges(spark, sf_dir).select("id_l", "id_r")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    return star_clusters(edges, docs, id_col="doc_id")
+
+
+SQL_RL_STAR_CLUSTERS = f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(id_l AS VARCHAR) AS u, CAST(id_r AS VARCHAR) AS v
+  FROM ({SQL_RL_MATCH_EDGES}) WHERE id_l <> id_r
+), e AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM
+    (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)
+), deg AS MATERIALIZED (
+  SELECT u, count(*) AS deg FROM e GROUP BY u
+), adj AS MATERIALIZED (
+  SELECT e.u AS n, e.v AS m, dn.deg AS deg_n, dm.deg AS deg_m
+  FROM e JOIN deg dn ON dn.u = e.u JOIN deg dm ON dm.u = e.v
+), dominated AS MATERIALIZED (
+  SELECT n, max(CASE WHEN deg_m > deg_n
+                       OR (deg_m = deg_n AND m < n)
+                     THEN 1 ELSE 0 END) AS dom
+  FROM adj GROUP BY n
+), universe AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS v FROM documents
+), centers AS MATERIALIZED (
+  SELECT u.v AS c FROM universe u LEFT JOIN dominated d ON d.n = u.v
+  WHERE coalesce(d.dom, 0) = 0
+), attached AS MATERIALIZED (
+  SELECT n AS url, m AS star_id, FALSE AS is_center FROM (
+    SELECT a.n, a.m,
+           row_number() OVER (PARTITION BY a.n
+                              ORDER BY a.deg_m DESC, a.m ASC) AS rn
+    FROM adj a JOIN centers c ON c.c = a.m
+  ) WHERE rn = 1
+)
+SELECT url, star_id, is_center FROM attached
+UNION ALL
+SELECT u.v AS url, u.v AS star_id,
+       EXISTS (SELECT 1 FROM centers c WHERE c.c = u.v) AS is_center
+FROM universe u
+WHERE NOT EXISTS (SELECT 1 FROM attached a WHERE a.url = u.v)
+"""
+
+
+def rl_pivot_clusters(spark, sf_dir):
+    """Round-synchronous pivot correlation clustering of the match
+    graph (operators.graph_clustering.pivot_clusters — Ailon/Charikar/
+    Newman's 3-approx pivot with the deterministic md5 rank standing
+    in for the random permutation, parallelized per Chierichetti/
+    Dalvi/Kumar KDD'14). Pinned to rounds=4: nodes unsettled after 4
+    synchronous rounds become singletons, which makes the operator's
+    output a pure function of the graph — the DuckDB oracle UNROLLS
+    the same 4 rounds (min-rank pivot election, neighbor absorption,
+    active-set shrink) as chained CTEs and matches value-exactly.
+    Scale: per round, one edge×active join and two hash aggregations
+    on node ids; localCheckpoint per round cuts lineage exactly like
+    connected_components."""
+    from idd_hw6_record_linkage_spark.operators.graph_clustering import (
+        pivot_clusters,
+    )
+
+    edges = rl_match_edges(spark, sf_dir).select("id_l", "id_r")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    return pivot_clusters(edges, docs, id_col="doc_id", rounds=4)
+
+
+def _sql_pivot_clusters(rounds: int = 4) -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    # the unrolled rounds reference each other multiply — inlining
+    # expands the plan (and the documents scans inside the embedded
+    # match-edges subquery) exponentially in the round count.
+    parts = [
+        f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(id_l AS VARCHAR) AS u, CAST(id_r AS VARCHAR) AS v
+  FROM ({SQL_RL_MATCH_EDGES}) WHERE id_l <> id_r
+), e AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM
+    (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)
+), a0 AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         md5(CAST(doc_id AS VARCHAR)) || '|' || CAST(doc_id AS VARCHAR)
+           AS rk
+  FROM documents
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", mn{i} AS MATERIALIZED (
+  SELECT e.u AS id, min(b.rk) AS mn
+  FROM e JOIN a{i} a ON a.id = e.u JOIN a{i} b ON b.id = e.v
+  GROUP BY e.u
+), p{i} AS MATERIALIZED (
+  SELECT a.id, a.rk FROM a{i} a LEFT JOIN mn{i} m ON m.id = a.id
+  WHERE m.mn IS NULL OR a.rk < m.mn
+), s{i} AS MATERIALIZED (
+  SELECT e.u AS id, substr(min(p.rk), 34) AS pivot_id
+  FROM e JOIN p{i} p ON p.id = e.v JOIN a{i} a ON a.id = e.u
+  GROUP BY e.u
+), a{i + 1} AS MATERIALIZED (
+  SELECT a.id, a.rk FROM a{i} a
+  WHERE NOT EXISTS (SELECT 1 FROM p{i} p WHERE p.id = a.id)
+    AND NOT EXISTS (SELECT 1 FROM s{i} s WHERE s.id = a.id)
+)"""
+        )
+    selects = [
+        f"SELECT id AS url, id AS pivot_id FROM p{i}\nUNION ALL\n"
+        f"SELECT id AS url, pivot_id FROM s{i}"
+        for i in range(rounds)
+    ]
+    selects.append(f"SELECT id AS url, id AS pivot_id FROM a{rounds}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_RL_PIVOT_CLUSTERS = _sql_pivot_clusters(4)
+
+
 def rl_monge_elkan(spark, sf_dir):
     """Monge-Elkan hybrid token-set similarity over the candidate
     pairs (functions.monge_elkan) — the comparator between whole-string
@@ -6156,6 +6294,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_mra": rl_mra,
     "rl_canopy_blocks": rl_canopy_blocks,
+    "rl_star_clusters": rl_star_clusters,
+    "rl_pivot_clusters": rl_pivot_clusters,
     "rl_retract_records": rl_retract_records,
     "rl_match_rules": rl_match_rules,
     "rl_match_rule_stats": rl_match_rule_stats,
@@ -6301,6 +6441,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "rl_mra": SQL_RL_MRA,
     "rl_canopy_blocks": SQL_RL_CANOPY_BLOCKS,
+    "rl_star_clusters": SQL_RL_STAR_CLUSTERS,
+    "rl_pivot_clusters": SQL_RL_PIVOT_CLUSTERS,
     "rl_retract_records": SQL_RL_RETRACT_RECORDS,
     "rl_match_rules": SQL_RL_MATCH_RULES,
     "rl_match_rule_stats": SQL_RL_MATCH_RULE_STATS,
