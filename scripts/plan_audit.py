@@ -38,6 +38,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 AUDITED = [
+    "rl_mra",
+    "rl_canopy_blocks",
+    "rl_star_clusters",
+    "rl_pivot_clusters",
     "rl_block_keys",
     "rl_candidate_pairs",
     "rl_pair_features",
