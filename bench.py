@@ -168,6 +168,14 @@ HEADLINE_QUERIES = [
     # with the other cluster metrics (shared upstream clustering rerun
     # dominates).
     "rl_match_rules",
+    # MRA phonetic matcher (unrolled native CASE chains over the
+    # blocked part-name pair join) and canopy blocking (fate-sampled
+    # centers + df-capped inverted-index Jaccard join) — the two new
+    # per-pair/per-token workloads. Star/pivot clustering stay off
+    # the clock with the other cluster-granularity ops (the shared
+    # upstream match-edge rerun dominates their wall time).
+    "rl_mra",
+    "rl_canopy_blocks",
 ]
 
 # Builds the enriched pair table ONCE per bench invocation and stages

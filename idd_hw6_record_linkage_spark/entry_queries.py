@@ -2944,6 +2944,94 @@ WITH base AS MATERIALIZED (
 SQL_RL_PIVOT_CLUSTERS = _sql_pivot_clusters(4)
 
 
+def rl_cluster_blanc(spark, sf_dir):
+    """BLANC link-bilateral cluster agreement
+    (operators.evaluation.blanc — Recasens & Hovy 2011): mean of the
+    coreference-link F and the non-coreference-link F of the linkage
+    clustering vs the exact-text truth groups. Closes the
+    cluster-metric family (ARI chance-corrected, B³ record-weighted,
+    MUC link-minimal, CEAF-φ3 whole-set, V/VI information-theoretic,
+    GMD edit-cost): BLANC is the one that reports togetherness and
+    separation symmetrically. Same pred/truth bases and the same
+    three exact BIGINT contingency aggregates as rl_cluster_ari — no
+    pairwise blowup; the oracle recomputes every doubled sum and the
+    identical IEEE division shapes."""
+    from idd_hw6_record_linkage_spark.operators.evaluation import blanc
+
+    pred = rl_clusters(spark, sf_dir)
+    truth = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("text").isNull(),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.md5("text"))
+        .alias("truth_id"),
+    )
+    return blanc(pred, truth)
+
+
+SQL_RL_CLUSTER_BLANC = f"""
+WITH cl AS ({SQL_RL_CLUSTERS}),
+tr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN text IS NULL
+              THEN 'null:' || CAST(doc_id AS VARCHAR)
+              ELSE md5(text) END AS truth_id
+  FROM documents
+), j AS (
+  SELECT cl.entity_id AS c, tr.truth_id AS t
+  FROM cl JOIN tr USING (url)
+), sct AS (
+  SELECT CAST(sum(n_ct * (n_ct - 1)) AS BIGINT) AS s_ct2
+  FROM (SELECT count(*) AS n_ct FROM j GROUP BY c, t)
+), sc AS (
+  SELECT CAST(sum(n_c * (n_c - 1)) AS BIGINT) AS s_c2
+  FROM (SELECT count(*) AS n_c FROM j GROUP BY c)
+), st AS (
+  SELECT CAST(sum(n_t * (n_t - 1)) AS BIGINT) AS s_t2
+  FROM (SELECT count(*) AS n_t FROM j GROUP BY t)
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM j),
+b AS (
+  SELECT n_records, s_ct2, s_c2, s_t2,
+         n_records * (n_records - 1) AS tot2
+  FROM n, sct, sc, st
+), r AS (
+  SELECT *, tot2 - s_c2 - s_t2 + s_ct2 AS rnx2,
+         tot2 - s_t2 AS rn2, tot2 - s_c2 AS sn2
+  FROM b
+), f AS (
+  SELECT *,
+    CASE WHEN s_c2 > 0 THEN CAST(s_ct2 AS DOUBLE) / CAST(s_c2 AS DOUBLE)
+         ELSE 0.0 END AS p_c,
+    CASE WHEN s_t2 > 0 THEN CAST(s_ct2 AS DOUBLE) / CAST(s_t2 AS DOUBLE)
+         ELSE 0.0 END AS r_c,
+    CASE WHEN sn2 > 0 THEN CAST(rnx2 AS DOUBLE) / CAST(sn2 AS DOUBLE)
+         ELSE 0.0 END AS p_n,
+    CASE WHEN rn2 > 0 THEN CAST(rnx2 AS DOUBLE) / CAST(rn2 AS DOUBLE)
+         ELSE 0.0 END AS r_n
+  FROM r
+), g AS (
+  SELECT *,
+    CASE WHEN p_c + r_c > 0 THEN 2 * p_c * r_c / (p_c + r_c)
+         ELSE 0.0 END AS f_c,
+    CASE WHEN p_n + r_n > 0 THEN 2 * p_n * r_n / (p_n + r_n)
+         ELSE 0.0 END AS f_n
+  FROM f
+)
+SELECT n_records,
+       s_t2 // 2 AS links_gold,
+       s_c2 // 2 AS links_sys,
+       s_ct2 // 2 AS links_right,
+       CAST(round(f_c, 6) AS DOUBLE) AS blanc_c,
+       CAST(round(f_n, 6) AS DOUBLE) AS blanc_n,
+       CAST(round(CASE WHEN s_t2 = 0 AND s_c2 = 0 THEN f_n
+                       WHEN rn2 = 0 AND sn2 = 0 THEN f_c
+                       ELSE (f_c + f_n) / 2 END, 6) AS DOUBLE) AS blanc
+FROM g
+"""
+
+
 def rl_monge_elkan(spark, sf_dir):
     """Monge-Elkan hybrid token-set similarity over the candidate
     pairs (functions.monge_elkan) — the comparator between whole-string
@@ -6296,6 +6384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_canopy_blocks": rl_canopy_blocks,
     "rl_star_clusters": rl_star_clusters,
     "rl_pivot_clusters": rl_pivot_clusters,
+    "rl_cluster_blanc": rl_cluster_blanc,
     "rl_retract_records": rl_retract_records,
     "rl_match_rules": rl_match_rules,
     "rl_match_rule_stats": rl_match_rule_stats,
@@ -6443,6 +6532,7 @@ ORACLES: dict[str, str] = {
     "rl_canopy_blocks": SQL_RL_CANOPY_BLOCKS,
     "rl_star_clusters": SQL_RL_STAR_CLUSTERS,
     "rl_pivot_clusters": SQL_RL_PIVOT_CLUSTERS,
+    "rl_cluster_blanc": SQL_RL_CLUSTER_BLANC,
     "rl_retract_records": SQL_RL_RETRACT_RECORDS,
     "rl_match_rules": SQL_RL_MATCH_RULES,
     "rl_match_rule_stats": SQL_RL_MATCH_RULE_STATS,

@@ -379,6 +379,86 @@ def adjusted_rand_index(
     )
 
 
+def blanc(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "entity_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """BLANC (BiLateral Assessment of Noun-phrase Coreference —
+    Recasens & Hovy 2011): the mean of two link-level F-scores, one
+    over coreference links (pairs together in a cluster) and one over
+    non-coreference links (pairs separated) — the metric that closes
+    the cluster-agreement family next to ARI (chance-corrected Rand),
+    B³ (record-weighted), MUC (link-minimal) and CEAF-φ3 (whole-set):
+    BLANC is the only one that reports togetherness and separation as
+    symmetric citizens with their own P/R, so a chain-happy clustering
+    and a shatter-happy clustering fail on visibly different halves.
+
+    Same inputs and the same three exact BIGINT contingency aggregates
+    as :func:`adjusted_rand_index` — no pairwise blowup. In doubled
+    pair counts (each s_*2 = Σ n(n−1), always even):
+      coref:     right rcx2 = s_ct2, gold rc2 = s_t2, sys sc2 = s_c2
+      non-coref: rnx2 = tot2 − s_c2 − s_t2 + s_ct2,
+                 rn2 = tot2 − s_t2,  sn2 = tot2 − s_c2.
+    Pinned degenerate conventions (the Luo et al. 2014 BLANC-extension
+    choices): any P or R with a zero denominator is 0; F is 0 when
+    P + R = 0; when a SIDE is absent from both gold and system
+    (rc2 = sc2 = 0, or rn2 = sn2 = 0) BLANC is the other side's F
+    alone. All ratios divide the doubled BIGINTs in DOUBLE with the
+    identical expression shape the SQL oracle uses, so both engines
+    round the same IEEE value. One row: (n_records, links_gold,
+    links_sys, links_right, blanc_c, blanc_n, blanc)."""
+    j = pred.select(F.col(id_col).alias("__id"), F.col(pred_col).alias("__c")).join(
+        truth.select(F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")),
+        "__id",
+    )
+    nct = j.groupBy("__c", "__t").agg(F.count("*").alias("n_ct"))
+    nc = j.groupBy("__c").agg(F.count("*").alias("n_c"))
+    nt = j.groupBy("__t").agg(F.count("*").alias("n_t"))
+    s_ct2 = nct.agg(
+        F.sum(F.col("n_ct") * (F.col("n_ct") - 1)).cast("long").alias("s_ct2")
+    )
+    s_c2 = nc.agg(F.sum(F.col("n_c") * (F.col("n_c") - 1)).cast("long").alias("s_c2"))
+    s_t2 = nt.agg(F.sum(F.col("n_t") * (F.col("n_t") - 1)).cast("long").alias("s_t2"))
+    n = j.agg(F.count("*").cast("long").alias("n_records"))
+    row = (
+        n.crossJoin(F.broadcast(s_ct2))
+        .crossJoin(F.broadcast(s_c2))
+        .crossJoin(F.broadcast(s_t2))
+    )
+    tot2 = F.col("n_records") * (F.col("n_records") - 1)
+    rcx2, rc2, sc2 = F.col("s_ct2"), F.col("s_t2"), F.col("s_c2")
+    rnx2 = tot2 - F.col("s_c2") - F.col("s_t2") + F.col("s_ct2")
+    rn2, sn2 = tot2 - F.col("s_t2"), tot2 - F.col("s_c2")
+
+    def _ratio(num, den):
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    def _f1(p, r):
+        return F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+
+    f_c = _f1(_ratio(rcx2, sc2), _ratio(rcx2, rc2))
+    f_n = _f1(_ratio(rnx2, sn2), _ratio(rnx2, rn2))
+    bl = (
+        F.when((rc2 == 0) & (sc2 == 0), f_n)
+        .when((rn2 == 0) & (sn2 == 0), f_c)
+        .otherwise((f_c + f_n) / 2)
+    )
+    return row.select(
+        "n_records",
+        F.expr("s_t2 div 2").alias("links_gold"),
+        F.expr("s_c2 div 2").alias("links_sys"),
+        F.expr("s_ct2 div 2").alias("links_right"),
+        F.round(f_c, 6).alias("blanc_c"),
+        F.round(f_n, 6).alias("blanc_n"),
+        F.round(bl, 6).alias("blanc"),
+    )
+
+
 def average_precision(
     scored: DataFrame,
     truth: DataFrame,
