@@ -2944,6 +2944,65 @@ WITH base AS MATERIALIZED (
 SQL_RL_PIVOT_CLUSTERS = _sql_pivot_clusters(4)
 
 
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-mixing sample of the documents corpus BY LANGUAGE
+    (operators.sampling.sample_temperature, alpha=0.5 — the
+    multilingual-LM standard: flatten the skewed language distribution
+    toward uniform by keeping each source at the share-lift rate
+    q_s/p_s scaled so the most up-weighted source keeps everything;
+    pure down-sampling on the md5 fate basis, so the sample is
+    repartition-proof and engine-reproducible). The DuckDB oracle
+    recomputes source weights, the pinned division chain
+    ((p^0.5/Σp^0.5)/p, then /max), and the per-row fate filter from
+    scratch — value-exact on the surviving rows. Scale: one hash
+    aggregate on the source key; the rate table is sources-sized and
+    broadcasts; the row filter is map-only."""
+    from idd_hw6_record_linkage_spark.operators.sampling import (
+        sample_temperature,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = sample_temperature(docs, "doc_id", "lang", alpha=0.5)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_src",
+        F.round("p_src", 6).alias("p_src"),
+        F.round("rate", 6).alias("rate"),
+    )
+
+
+_SQL_MIX_FATE = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+SQL_CORPUS_MIX_TEMPERATURE = f"""
+WITH d AS (
+  SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL
+), w AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS w FROM d GROUP BY lang
+), t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+p AS (
+  SELECT lang, w, CAST(w AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+  FROM w, t
+), q AS (
+  SELECT *, power(p, 0.5) AS qr FROM p
+), qs AS (SELECT sum(qr) AS qsum FROM q),
+m AS (
+  SELECT lang, w, p, (qr / qsum) / p AS m FROM q, qs
+), mm AS (SELECT max(m) AS mmax FROM m),
+r AS (
+  SELECT lang, w, p, m / mmax AS rate FROM m, mm
+)
+SELECT d.doc_id, d.lang, r.w AS n_src,
+       CAST(round(r.p, 6) AS DOUBLE) AS p_src,
+       CAST(round(r.rate, 6) AS DOUBLE) AS rate
+FROM d JOIN r USING (lang)
+WHERE {_SQL_MIX_FATE} < r.rate
+"""
+
+
 def rl_cluster_blanc(spark, sf_dir):
     """BLANC link-bilateral cluster agreement
     (operators.evaluation.blanc — Recasens & Hovy 2011): mean of the
@@ -6385,6 +6444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_star_clusters": rl_star_clusters,
     "rl_pivot_clusters": rl_pivot_clusters,
     "rl_cluster_blanc": rl_cluster_blanc,
+    "corpus_mix_temperature": corpus_mix_temperature,
     "rl_retract_records": rl_retract_records,
     "rl_match_rules": rl_match_rules,
     "rl_match_rule_stats": rl_match_rule_stats,
@@ -6533,6 +6593,7 @@ ORACLES: dict[str, str] = {
     "rl_star_clusters": SQL_RL_STAR_CLUSTERS,
     "rl_pivot_clusters": SQL_RL_PIVOT_CLUSTERS,
     "rl_cluster_blanc": SQL_RL_CLUSTER_BLANC,
+    "corpus_mix_temperature": SQL_CORPUS_MIX_TEMPERATURE,
     "rl_retract_records": SQL_RL_RETRACT_RECORDS,
     "rl_match_rules": SQL_RL_MATCH_RULES,
     "rl_match_rule_stats": SQL_RL_MATCH_RULE_STATS,

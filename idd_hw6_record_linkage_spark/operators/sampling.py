@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fate", "sample_corpus", "pack_shards"]
+__all__ = [
+    "hash_fate",
+    "sample_corpus",
+    "pack_shards",
+    "temperature_rates",
+    "sample_temperature",
+]
 
 _FATE_BUCKETS = 1_000_000
 
@@ -150,3 +156,94 @@ def pack_shards(
         )
     )
     return out.drop("__fate", "__bucket", "__boff", "__cum", "__before")
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-source temperature-mixing rates: (source, w, p, rate).
+
+    The multilingual / data-mixing standard (temperature sampling, as
+    in mT5 / massively-multilingual NMT): flatten the natural source
+    distribution p_s toward uniform by sampling proportionally to
+    p_s^alpha (alpha is the exponent — often written 1/T or tau;
+    alpha=1 keeps the natural mix, alpha=0 is uniform-over-sources).
+    The target share is q_s = p_s^alpha / sum p^alpha; the per-row
+    keep-rate is the share lift m_s = q_s / p_s scaled so the most
+    up-weighted source keeps everything: rate_s = m_s / max m — i.e.
+    temperature mixing by pure DOWN-sampling, never duplication.
+
+    ``weight_col`` weights sources by a column sum (e.g. token
+    counts) instead of row counts. NULL sources are excluded (no
+    stable identity to mix on). All the heavy lifting is one hash
+    aggregate on the source key; the rate table is sources-sized and
+    every subsequent normalization is an aggregate over it — the
+    division ORDER ((q/qsum)/p, then m/maxm) is pinned so any SQL
+    engine replays the identical IEEE values.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    d = df.where(F.col(source_col).isNotNull())
+    wexpr = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
+    w = d.groupBy(F.col(source_col).alias("source")).agg(wexpr.alias("w"))
+    tot = w.agg(F.sum("w").cast("long").alias("tot"))
+    p = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        (F.col("w").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+    q = p.withColumn("qr", F.pow(F.col("p"), F.lit(float(alpha))))
+    qsum = q.agg(F.sum("qr").alias("qsum"))
+    m = q.crossJoin(F.broadcast(qsum)).select(
+        "source",
+        "w",
+        "p",
+        ((F.col("qr") / F.col("qsum")) / F.col("p")).alias("m"),
+    )
+    mm = m.agg(F.max("m").alias("mmax"))
+    return m.crossJoin(F.broadcast(mm)).select(
+        "source",
+        "w",
+        "p",
+        (F.col("m") / F.col("mmax")).alias("rate"),
+    )
+
+
+def sample_temperature(
+    df: DataFrame,
+    key_col: str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically keep each row iff hash_fate(key) < the
+    temperature rate of its source (:func:`temperature_rates`): the
+    row-level temperature-mixing sample, with the same md5-fate
+    stability guarantees as :func:`sample_corpus` (repartition-proof,
+    engine-reproducible, nestable). Adds (n_src, p_src, rate) for
+    audit. NULL keys and NULL sources are dropped."""
+    rates = temperature_rates(df, source_col, alpha, weight_col)
+    fate = hash_fate(F.col(key_col), salt=salt)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .join(
+            F.broadcast(
+                rates.select(
+                    F.col("source").alias(source_col),
+                    F.col("w").alias("n_src"),
+                    F.col("p").alias("p_src"),
+                    "rate",
+                )
+            ),
+            source_col,
+        )
+        .where(fate < F.col("rate"))
+    )

@@ -137,3 +137,95 @@ def test_pack_shards_budget_overshoot_bounded(spark):
 def test_pack_shards_rejects_nonpositive_budget(spark):
     with pytest.raises(ValueError, match="positive"):
         sampling.pack_shards(_docs(spark), "doc_id", "n_tok", 0)
+
+
+def _skewed(spark, n=600):
+    # source share: s0 ~ 1/2, s1 ~ 1/3, s2 ~ 1/6 (id mod 6 buckets)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 6 < 3, "s0")
+        .when(F.col("id") % 6 < 5, "s1")
+        .otherwise("s2")
+        .alias("source"),
+        (F.col("id") % 11 + 1).cast("long").alias("n_tok"),
+    )
+
+
+def test_temperature_rates_alpha_one_is_identity(spark):
+    rates = {
+        r.source: r.rate
+        for r in sampling.temperature_rates(
+            _skewed(spark), alpha=1.0
+        ).collect()
+    }
+    assert all(abs(v - 1.0) < 1e-12 for v in rates.values()), rates
+
+
+def test_temperature_rates_alpha_zero_is_uniform_lift(spark):
+    # alpha=0: q uniform, lift 1/p -> rarest source keeps 1.0, others
+    # keep p_rarest / p_s exactly.
+    rows = sampling.temperature_rates(_skewed(spark), alpha=0.0).collect()
+    w = {r.source: r.w for r in rows}
+    p_min = min(w.values()) / sum(w.values())
+    for r in rows:
+        assert abs(r.rate - p_min / r.p) < 1e-12, r
+
+
+def test_temperature_rates_flatten_monotonically(spark):
+    # alpha=0.5 sits between natural and uniform: the dominant source
+    # is down-sampled, the rarest keeps everything, and rates order
+    # inversely to shares.
+    rows = sorted(
+        sampling.temperature_rates(_skewed(spark), alpha=0.5).collect(),
+        key=lambda r: r.p,
+    )
+    rates = [r.rate for r in rows]
+    assert rates[0] == pytest.approx(1.0, abs=1e-12)  # rarest
+    assert all(a >= b - 1e-12 for a, b in zip(rates, rates[1:]))
+    assert rows[-1].rate == pytest.approx(
+        (rows[0].p / rows[-1].p) ** 0.5, rel=1e-9
+    )
+
+
+def test_sample_temperature_composes_fate_and_rates(spark):
+    d = _skewed(spark)
+    out = sampling.sample_temperature(d, "doc_id", alpha=0.5)
+    rates = {
+        r.source: r.rate
+        for r in sampling.temperature_rates(d, alpha=0.5).collect()
+    }
+    # every surviving row's fate is under its source rate; every
+    # dropped row's fate is over it (exact fate recomputation).
+    fates = {
+        r.doc_id: r.f
+        for r in d.select(
+            "doc_id", sampling.hash_fate(F.col("doc_id")).alias("f")
+        ).collect()
+    }
+    kept = {r.doc_id for r in out.collect()}
+    for r in d.collect():
+        assert (fates[r.doc_id] < rates[r.source]) == (r.doc_id in kept)
+
+
+def test_temperature_weight_col_changes_basis(spark):
+    d = _skewed(spark)
+    by_rows = {
+        r.source: r.w
+        for r in sampling.temperature_rates(d, alpha=0.5).collect()
+    }
+    by_tok = {
+        r.source: r.w
+        for r in sampling.temperature_rates(
+            d, alpha=0.5, weight_col="n_tok"
+        ).collect()
+    }
+    naive = {
+        r.source: r.t
+        for r in d.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert by_tok == naive and by_tok != by_rows
+
+
+def test_temperature_rejects_negative_alpha(spark):
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_rates(_skewed(spark), alpha=-0.1)
