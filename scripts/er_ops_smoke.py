@@ -493,6 +493,140 @@ def main() -> None:
     )
     out["retract_sec"] = round(time.time() - t0, 1)
 
+    # ---- Canopy blocking over entity-shared token sets ------------------
+    # Every member of a 4-record entity carries the SAME 10-token set,
+    # and vocabularies never cross entities — so membership can only
+    # form within an entity and every (member, center) Jaccard is
+    # exactly 1.0/tight. Expected rows are exact given the fate draw
+    # (computed independently below with one aggregate):
+    # 4·n_centers + 4·(entities with no center). Measures the
+    # inverted-index join at ~n docs × 10 tokens.
+    from idd_hw6_record_linkage_spark.operators.canopy import canopy_blocks
+    from idd_hw6_record_linkage_spark.operators.sampling import hash_fate
+
+    t0 = time.time()
+    ent = F.format_string("e%08d", (F.col("id") / 4).cast("long"))
+    cdocs = spark.range(n // 4 * 4).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            *[F.concat(ent, F.lit(f"_t{i}")) for i in range(10)]
+        ).alias("toks"),
+    )
+    cdocs.write.mode("overwrite").parquet(f"{stage}/canopy_docs")
+    cdocs = spark.read.parquet(f"{stage}/canopy_docs")
+    cb = canopy_blocks(
+        cdocs, "doc_id", "toks", center_rate=0.2, t1=0.5, t2=0.9
+    )
+    agg = cb.agg(
+        F.count("*").alias("rows"),
+        F.min("jaccard").alias("jmin"),
+        F.sum((~F.col("is_tight")).cast("long")).alias("loose"),
+    ).collect()[0]
+    cstats = (
+        cdocs.select(
+            (F.col("doc_id") / 4).cast("long").alias("e"),
+            (hash_fate(F.col("doc_id"), salt="canopy") < 0.2).cast(
+                "long"
+            ).alias("c"),
+        )
+        .groupBy("e")
+        .agg(F.sum("c").alias("nc"))
+        .agg(
+            F.sum("nc").alias("centers"),
+            F.sum((F.col("nc") == 0).cast("long")).alias("empty_ents"),
+        )
+        .collect()[0]
+    )
+    expected = 4 * cstats["centers"] + 4 * cstats["empty_ents"]
+    out["canopy_rows"] = agg["rows"]
+    out["canopy_bad"] = (
+        abs(agg["rows"] - expected)
+        + int(agg["jmin"] != 1.0)
+        + int(agg["loose"] != 0)
+    )
+    out["canopy_sec"] = round(time.time() - t0, 1)
+
+    # ---- Star + pivot clustering over per-entity K4 cliques -------------
+    # Pure K4 graph (the bridge-free slice of the graph section's
+    # corpus): closed forms — star centers = one per entity (the base
+    # id wins the degree tie), clusters = E, rows = 4E; pivot with
+    # rounds=1 settles every clique (the global min-rank member is the
+    # unique pivot, a complete graph admits no second), clusters = E.
+    from idd_hw6_record_linkage_spark.operators.graph_clustering import (
+        pivot_clusters,
+        star_clusters,
+    )
+
+    t0 = time.time()
+    k4_ids = spark.range(n_ent * 4).select(
+        F.col("id").cast("string").alias("id")
+    )
+    k4_edges = spark.read.parquet(f"{stage}/graph").where(
+        F.col("score") > 0.9
+    ).select("id_l", "id_r")
+    st = star_clusters(k4_edges, k4_ids)
+    sa = st.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("is_center").cast("long")).alias("centers"),
+        F.countDistinct("star_id").alias("clusters"),
+    ).collect()[0]
+    out["star_rows"] = sa["rows"]
+    out["star_bad"] = (
+        abs(sa["rows"] - 4 * n_ent)
+        + abs(sa["centers"] - n_ent)
+        + abs(sa["clusters"] - n_ent)
+    )
+    out["star_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    pv = pivot_clusters(k4_edges, k4_ids, rounds=1)
+    pa = pv.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("pivot_id").alias("clusters"),
+    ).collect()[0]
+    out["pivot_rows"] = pa["rows"]
+    out["pivot_bad"] = abs(pa["rows"] - 4 * n_ent) + abs(
+        pa["clusters"] - n_ent
+    )
+    out["pivot_sec"] = round(time.time() - t0, 1)
+
+    # ---- MRA codex + rating over planted name buckets -------------------
+    # m pairs in two closed-form buckets by id%2 over 12-char hex
+    # names: bucket 0 compares the name to ITSELF (identical codices:
+    # rating 6, always a match), bucket 1 to all-'z' (codex 'Z',
+    # length gate |len-1| vs hex codices of length 6 -> never
+    # comparable, never a match). Measures the unrolled 6-position
+    # CASE chains at pair width.
+    from idd_hw6_record_linkage_spark.functions.mra import (
+        mra_codex,
+        mra_comparable,
+        mra_min_rating,
+        mra_rating,
+    )
+
+    t0 = time.time()
+    mm = (n // 2) // 2 * 2
+    name = F.upper(F.substring(F.md5(F.col("id").cast("string")), 1, 12))
+    mra_pairs = spark.range(mm).select(
+        mra_codex(name).alias("cl"),
+        mra_codex(
+            F.when(F.col("id") % 2 == 0, name).otherwise(F.lit("Z" * 12))
+        ).alias("cr"),
+    )
+    rating = mra_rating("cl", "cr")
+    cmp_ok = mra_comparable("cl", "cr")
+    is_match = cmp_ok & (rating >= mra_min_rating("cl", "cr"))
+    ma = mra_pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(is_match.cast("long")).alias("matches"),
+        F.sum((rating == 6).cast("long")).alias("sixes"),
+    ).collect()[0]
+    out["mra_pairs"] = ma["n"]
+    out["mra_bad"] = abs(ma["matches"] - mm // 2) + abs(
+        ma["sixes"] - mm // 2
+    )
+    out["mra_sec"] = round(time.time() - t0, 1)
+
     print(json.dumps(out))
 
 
