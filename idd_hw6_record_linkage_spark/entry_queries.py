@@ -3003,6 +3003,53 @@ WHERE {_SQL_MIX_FATE} < r.rate
 """
 
 
+def corpus_chunk_docs(spark, sf_dir):
+    """Fixed-token document chunking with overlap
+    (operators.chunking.chunk_documents, 32-token windows advancing
+    by 24 — every LM-pretraining packer and RAG indexer's splitter
+    stage; Spark has no built-in). Chunk counts, offsets and window
+    slices are pure integer arithmetic over the shared whitespace
+    token basis, so the DuckDB oracle recomputes every chunk —
+    including the rejoined chunk text — value-exactly. Map-only plan:
+    split → sequence → posexplode → slice, zero shuffles beyond the
+    testbed scan widening."""
+    from idd_hw6_record_linkage_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
+SQL_CORPUS_CHUNK_DOCS = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+           t -> t <> '') AS toks
+  FROM documents
+), d AS (
+  SELECT id, toks, len(toks) AS n,
+         greatest((len(toks) - 8 + 23) // 24, 1) AS k
+  FROM base WHERE len(toks) > 0
+), e AS (
+  SELECT id, toks, n,
+         unnest(generate_series(0, k - 1)) AS chunk_id
+  FROM d
+)
+SELECT id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * 24 AS BIGINT) AS tok_start,
+       CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32))
+            AS INTEGER) AS n_tokens,
+       array_to_string(
+         list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32),
+         ' ') AS chunk_text
+FROM e
+"""
+
+
 def rl_cluster_blanc(spark, sf_dir):
     """BLANC link-bilateral cluster agreement
     (operators.evaluation.blanc — Recasens & Hovy 2011): mean of the
@@ -6445,6 +6492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_pivot_clusters": rl_pivot_clusters,
     "rl_cluster_blanc": rl_cluster_blanc,
     "corpus_mix_temperature": corpus_mix_temperature,
+    "corpus_chunk_docs": corpus_chunk_docs,
     "rl_retract_records": rl_retract_records,
     "rl_match_rules": rl_match_rules,
     "rl_match_rule_stats": rl_match_rule_stats,
@@ -6594,6 +6642,7 @@ ORACLES: dict[str, str] = {
     "rl_pivot_clusters": SQL_RL_PIVOT_CLUSTERS,
     "rl_cluster_blanc": SQL_RL_CLUSTER_BLANC,
     "corpus_mix_temperature": SQL_CORPUS_MIX_TEMPERATURE,
+    "corpus_chunk_docs": SQL_CORPUS_CHUNK_DOCS,
     "rl_retract_records": SQL_RL_RETRACT_RECORDS,
     "rl_match_rules": SQL_RL_MATCH_RULES,
     "rl_match_rule_stats": SQL_RL_MATCH_RULE_STATS,

@@ -39,6 +39,9 @@ sys.path.insert(0, REPO)
 
 AUDITED = [
     "rl_mra",
+    "corpus_chunk_docs",
+    "corpus_mix_temperature",
+    "rl_cluster_blanc",
     "rl_canopy_blocks",
     "rl_star_clusters",
     "rl_pivot_clusters",
@@ -146,6 +149,9 @@ CARTESIAN_OK = {
     "rl_cluster_ari",  # one-row contingency-sum crosses (s_ct2 × s_c2 × s_t2 × n)
     "rl_cluster_vmeasure",  # one-row log-sum crosses (s_tc × s_ct × s_t × s_c × n)
     "rl_threshold_sweep",  # one-row |truth| count crossed into the curve
+    "rl_cluster_blanc",  # one-row contingency-sum crosses (same shape as ARI)
+    "corpus_mix_temperature",  # one-row total/qsum/max crosses into the
+    # sources-sized rate table
 }
 
 
