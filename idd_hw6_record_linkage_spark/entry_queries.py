@@ -2630,6 +2630,42 @@ FROM part
 SQL_RL_NYSIIS_KEYS = _sql_nysiis_query()
 
 
+def rl_cologne_keys(spark, sf_dir):
+    """Kölner Phonetik blocking keys
+    (functions.phonetic.cologne_key — Postel 1969, the standard
+    phonetic key for German names and the fourth family next to
+    Soundex/NYSIIS/MRA) over the same cleaned first-name-token basis
+    as rl_soundex_keys. The encoder is an order-pinned
+    regexp_replace/translate chain generated for BOTH engines from
+    the SAME pass table (the engines cannot drift) and reproduces the
+    canonical published vectors (MUELLER→657, BRESCHNEW→17863,
+    WIKIPEDIA→3412); the DuckDB oracle recomputes the full chain from
+    scratch — value-exact at the row level. Map-only, whole-stage
+    codegen."""
+    from idd_hw6_record_linkage_spark.functions.phonetic import cologne_key
+
+    tok = F.upper(F.split(F.col("p_name"), " ").getItem(0))
+    return _scan(spark, sf_dir, "part").select(
+        "p_partkey",
+        tok.alias("name_token"),
+        cologne_key(tok).alias("koeln_key"),
+    )
+
+
+def _sql_cologne_query() -> str:
+    from idd_hw6_record_linkage_spark.functions.phonetic import cologne_sql
+
+    tok = "upper(split_part(p_name, ' ', 1))"
+    return f"""
+SELECT p_partkey, {tok} AS name_token,
+       {cologne_sql(tok)} AS koeln_key
+FROM part
+"""
+
+
+SQL_RL_COLOGNE_KEYS = _sql_cologne_query()
+
+
 def rl_mra(spark, sf_dir):
     """Match Rating Approach codex + similarity-rating comparison
     (functions.mra — Western Airlines 1977, the third classic
@@ -6486,6 +6522,7 @@ SQL_RL_MATCH_RULE_STATS = (
 # query, add it at the TOP.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
+    "rl_cologne_keys": rl_cologne_keys,
     "rl_mra": rl_mra,
     "rl_canopy_blocks": rl_canopy_blocks,
     "rl_star_clusters": rl_star_clusters,
@@ -6636,6 +6673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rl_cologne_keys": SQL_RL_COLOGNE_KEYS,
     "rl_mra": SQL_RL_MRA,
     "rl_canopy_blocks": SQL_RL_CANOPY_BLOCKS,
     "rl_star_clusters": SQL_RL_STAR_CLUSTERS,

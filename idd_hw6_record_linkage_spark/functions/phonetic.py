@@ -341,3 +341,91 @@ def nysiis_py(name: str, max_len: int = 6) -> str:
         key = re.sub(p, r, key)
     key = key or first
     return key[:max_len] if max_len else key
+
+
+# --------------------------------------------------------------- Cologne
+# Kölner Phonetik (Postel 1969) — the standard phonetic key for German
+# names, and the fourth family next to Soundex/NYSIIS/MRA: codes are
+# context-dependent (C hears its neighbors, X expands, D/T soften
+# before sibilants), output length is unbounded (like Refined
+# Soundex), and vowels collapse to a single 0 class. As with NYSIIS,
+# published implementations disagree on edge cases, so the engine
+# pins ITS OWN order-fixed pass-chain variant, generated for BOTH
+# engines from the SAME table below, and proves it reproduces the
+# canonical published vectors (MUELLER→657, BRESCHNEW→17863,
+# WIKIPEDIA→3412, BACH→14, MATSCH→68). Pinned chain: ordered context
+# passes (digits are inert to later passes), one letter→digit
+# translate with H deleted, per-digit run collapse, then non-leading
+# zero removal. Divergence class vs lookahead-based implementations:
+# a context consumed by an earlier pass is invisible to later ones —
+# the pass ORDER below resolves every such overlap deterministically
+# (e.g. PH wins over P, D-before-sibilant wins over the C rules, the
+# initial-C rule wins over the X-after-CKQ rule).
+#
+# Each row: (RE2-safe pattern, replacement template; {1}/{2} are the
+# captured groups — positional format slots rendered as $1/$2 (Spark),
+# \1/\2 (DuckDB RE2) or \g<1>/\g<2> (Python re) per engine).
+COLOGNE_PASSES = [
+    ("PH", "3"),
+    ("([DT])([CSZ])", "8{2}"),
+    ("^C([AHKLOQRUX])", "4{1}"),
+    ("^C", "8"),
+    ("([SZ])C", "{1}8"),
+    ("C([AHKOQUX])", "4{1}"),
+    ("C", "8"),
+    ("([CKQ])X", "{1}8"),
+    ("X", "48"),
+]
+_COLOGNE_FROM = "AEIJOUYBPDTFVWGKQLMNRSZH"
+_COLOGNE_TO = "00000001122333444566788"  # H (last) deletes
+
+
+def cologne_key(col: Column | str) -> Column:
+    """Native Spark Kölner Phonetik over an uppercased input
+    (``[A-Za-z]+`` domain, same contract as soundex_key). 100% native
+    regexp_replace/translate chain — whole-stage codegen, map-only."""
+    c = F.upper(col)
+    for pat, repl in COLOGNE_PASSES:
+        c = F.regexp_replace(c, pat, repl.format("", "$1", "$2"))
+    c = F.translate(c, _COLOGNE_FROM, _COLOGNE_TO)
+    for d in "012345678":
+        c = F.regexp_replace(c, f"{d}{d}+", d)
+    return F.concat(
+        F.substring(c, 1, 1),
+        F.regexp_replace(F.substring(c, 2, 1_000_000), "0", ""),
+    )
+
+
+def cologne_sql(expr: str) -> str:
+    """DuckDB replica GENERATED from the same pass table — the two
+    engines cannot drift. ``expr`` must be an uppercase ``[A-Z]+``
+    scalar expression."""
+    c = expr
+    for pat, repl in COLOGNE_PASSES:
+        r = repl.format("", r"\1", r"\2")
+        c = f"regexp_replace({c}, '{pat}', '{r}', 'g')"
+    c = f"translate({c}, '{_COLOGNE_FROM}', '{_COLOGNE_TO}')"
+    for d in "012345678":
+        c = f"regexp_replace({c}, '{d}{d}+', '{d}', 'g')"
+    return (
+        f"substr({c}, 1, 1) || "
+        f"replace(substr({c}, 2), '0', '')"
+    )
+
+
+def cologne_py(s: str) -> str:
+    """Pure-Python replica (test triangulation only)."""
+    import re
+
+    c = s.upper()
+    for pat, repl in COLOGNE_PASSES:
+        c = re.sub(pat, repl.format("", r"\g<1>", r"\g<2>"), c)
+    table = {f: t for f, t in zip(_COLOGNE_FROM, _COLOGNE_TO)}
+    table["H"] = ""
+    c = "".join(table.get(ch, ch) for ch in c)
+    out: list[str] = []
+    for ch in c:
+        if not out or out[-1] != ch:
+            out.append(ch)
+    c = "".join(out)
+    return c[:1] + c[1:].replace("0", "")

@@ -254,3 +254,97 @@ class TestNysiis:
             assert not kf or kf[0] in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
             # truncation is the ONLY difference between the two forms
             assert kf.startswith(k6)
+
+
+class TestCologne:
+    """Kölner Phonetik (cologne_key/_sql/_py): canonical published
+    vectors, three-way Spark == DuckDB == Python parity on fuzz words
+    weighted toward the context-rule letters, and key-shape
+    properties (digits only, no non-leading zeros)."""
+
+    # Canonical vectors from the published algorithm description,
+    # plus pinned edge cases of OUR pass order (X-after-initial-C,
+    # initial-C-alone, PH, sibilant contexts).
+    PINNED_K = {
+        "MUELLER": "657",
+        "BRESCHNEW": "17863",
+        "WIKIPEDIA": "3412",
+        "BACH": "14",
+        "MATSCH": "68",
+        "HEINZ": "068",
+        "PHILIPP": "351",
+        "CX": "48",
+        "KX": "48",
+        "ACX": "048",
+        "C": "8",
+        "CA": "4",
+        "SC": "8",
+        "X": "48",
+        "PH": "3",
+        "TSCH": "8",
+        "H": "",
+    }
+
+    def test_python_replica_pinned(self):
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            cologne_py,
+        )
+
+        for w, want in self.PINNED_K.items():
+            assert cologne_py(w) == want, (w, cologne_py(w))
+
+    def test_sql_matches_python_fuzz(self):
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            cologne_py,
+            cologne_sql,
+        )
+
+        rng = random.Random(991)
+        alpha = string.ascii_uppercase + "AEIOUHCXSZDTKQP" * 2
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+            for _ in range(500)
+        ] + list(self.PINNED_K)
+        con = duckdb.connect()
+        got = con.execute(
+            f"SELECT w, {cologne_sql('w')} FROM (SELECT unnest(?) AS w)",
+            [words],
+        ).fetchall()
+        for w, k in got:
+            assert k == cologne_py(w), w
+
+    def test_spark_matches_python_fuzz(self, spark):
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            cologne_key,
+            cologne_py,
+        )
+
+        rng = random.Random(77)
+        alpha = string.ascii_uppercase + "AEIOUHCXSZDTKQP" * 2
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+            for _ in range(400)
+        ] + list(self.PINNED_K)
+        words += [w.lower() for w in words[:40]]
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        for r in df.select("w", cologne_key("w").alias("k")).collect():
+            assert r.k == cologne_py(r.w), r.w
+
+    def test_key_shape_properties(self):
+        from idd_hw6_record_linkage_spark.functions.phonetic import (
+            cologne_py,
+        )
+
+        rng = random.Random(5)
+        for _ in range(300):
+            w = "".join(
+                rng.choice(string.ascii_uppercase)
+                for _ in range(rng.randint(1, 15))
+            )
+            k = cologne_py(w)
+            assert all(c in "012345678" for c in k), (w, k)
+            assert "0" not in k[1:], (w, k)  # only a LEADING zero
+            # NOTE: adjacent duplicate codes CAN survive — the run
+            # collapse happens BEFORE zero removal, so codes that
+            # were separated by a vowel (e.g. GYG -> 404 -> 44) stay
+            # distinct, exactly as the published algorithm specifies.
