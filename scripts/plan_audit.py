@@ -39,6 +39,7 @@ sys.path.insert(0, REPO)
 
 AUDITED = [
     "rl_mra",
+    "rl_cologne_keys",
     "corpus_chunk_docs",
     "corpus_mix_temperature",
     "rl_cluster_blanc",
