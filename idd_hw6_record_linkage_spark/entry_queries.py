@@ -4543,6 +4543,46 @@ FROM reach GROUP BY id
 SQL_DEDUP_DOC_CLUSTERS = _minhash_clusters_oracle_sql()
 
 
+def dedup_source_overlap(spark, sf_dir):
+    """Cross-source duplicate-overlap matrix
+    (operators.dedup.source_overlap_matrix) over the MinHash-LSH
+    cluster assignment: duplicate pairs per unordered source pair —
+    diagonal = within-source C(n,2) per cluster, off-diagonal =
+    cross-source n_a·n_b. The corpus-curation table that tells a mix
+    designer which sources re-serve each other's content. The DuckDB
+    oracle recomputes it from the same recursive-CTE cluster fixpoint
+    — value-exact. Scale: the self-join fans out per cluster by the
+    DISTINCT SOURCE COUNT, never the cluster size."""
+    from idd_hw6_record_linkage_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    assign = dedup_doc_clusters(spark, sf_dir)
+    return source_overlap_matrix(
+        assign, _docs(spark, sf_dir).select("doc_id", "source")
+    )
+
+
+SQL_DEDUP_SOURCE_OVERLAP = f"""
+WITH assign AS ({SQL_DEDUP_DOC_CLUSTERS}),
+j AS (
+  SELECT a.cluster_id AS c, d.source AS s
+  FROM assign a JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL
+), per AS (
+  SELECT c, s, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY c, s
+), p AS (
+  SELECT l.s AS source_l, r.s AS source_r,
+         CASE WHEN l.s = r.s THEN l.n * (l.n - 1) // 2
+              ELSE l.n * r.n END AS np
+  FROM per l JOIN per r ON l.c = r.c AND l.s <= r.s
+)
+SELECT source_l, source_r, CAST(sum(np) AS BIGINT) AS n_dup_pairs
+FROM p GROUP BY source_l, source_r
+HAVING sum(np) > 0
+"""
+
+
 def dedup_cluster_stats(spark, sf_dir):
     """Cluster-size histogram of the dedup deliverable — the shape
     summary an operator watches after a dedup run (singleton share,
@@ -6523,6 +6563,7 @@ SQL_RL_MATCH_RULE_STATS = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_cologne_keys": rl_cologne_keys,
+    "dedup_source_overlap": dedup_source_overlap,
     "rl_mra": rl_mra,
     "rl_canopy_blocks": rl_canopy_blocks,
     "rl_star_clusters": rl_star_clusters,
@@ -6674,6 +6715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "rl_cologne_keys": SQL_RL_COLOGNE_KEYS,
+    "dedup_source_overlap": SQL_DEDUP_SOURCE_OVERLAP,
     "rl_mra": SQL_RL_MRA,
     "rl_canopy_blocks": SQL_RL_CANOPY_BLOCKS,
     "rl_star_clusters": SQL_RL_STAR_CLUSTERS,

@@ -439,3 +439,63 @@ def embedding_dup_pairs_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")
     )
+
+
+def source_overlap_matrix(
+    assign: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for a resolved dedup
+    assignment (``assign``: id → cluster) and a source label per
+    document, count the duplicate PAIRS each unordered source pair
+    contributes — the corpus-curation artifact every multi-source mix
+    needs ("how much does the crawl duplicate the wiki dump"), and
+    the direct input to per-source dedup-rate accounting. The
+    diagonal counts within-source pairs (C(n,2) per cluster), the
+    off-diagonal cross-source pairs (n_a·n_b per cluster); a
+    duplicate-free source pair emits no row.
+
+    NULL sources are excluded (no stable mix identity — same
+    convention as the temperature sampler). Scale shape: one
+    groupBy to per-(cluster, source) counts, one self-equi-join on
+    the cluster id whose fan-out per cluster is bounded by the
+    DISTINCT SOURCE COUNT (not the cluster size — a 10k-member
+    mega-cluster over 20 sources joins 20×20, not 10k×10k), then one
+    bounded aggregate. Exact BIGINT arithmetic end to end."""
+    j = assign.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c")
+    ).join(
+        docs.select(
+            F.col(id_col).alias("__id"), F.col(source_col).alias("__s")
+        ).where(F.col(source_col).isNotNull()),
+        "__id",
+    )
+    per = j.groupBy("__c", "__s").agg(F.count(F.lit(1)).alias("n"))
+    l = per.select(  # noqa: E741
+        "__c", F.col("__s").alias("source_l"), F.col("n").alias("n_l")
+    )
+    r = per.select(
+        "__c", F.col("__s").alias("source_r"), F.col("n").alias("n_r")
+    )
+    pairs = (
+        l.join(r, "__c")
+        .where(F.col("source_l") <= F.col("source_r"))
+        .select(
+            "source_l",
+            "source_r",
+            F.when(
+                F.col("source_l") == F.col("source_r"),
+                (F.col("n_l") * (F.col("n_l") - 1) / 2).cast("long"),
+            )
+            .otherwise(F.col("n_l") * F.col("n_r"))
+            .alias("np"),
+        )
+    )
+    return (
+        pairs.groupBy("source_l", "source_r")
+        .agg(F.sum("np").cast("long").alias("n_dup_pairs"))
+        .where(F.col("n_dup_pairs") > 0)
+    )
