@@ -1747,6 +1747,58 @@ SQL_RL_MATCH_EDGES = (
 )
 
 
+def rl_match_explanations(spark, sf_dir):
+    """Per-edge score explanations — the Splink-waterfall analog for
+    the rule scorer: every match edge decomposed into its per-
+    comparator contributions (equal-weight mean → each sim/3), plus
+    the weakest feature (deterministic CASE-order tie-break:
+    lev → jaccard → nchars) and the strength gap (max sim − min sim).
+    The review-queue artifact an ER analyst reads before trusting an
+    edge: a high score carried by one feature with a big gap is a
+    different animal than three agreeing comparators. Pure column
+    arithmetic over the rl_pair_features output (shared basis, so the
+    DuckDB oracle recomputes everything from the same rounded sims —
+    value-exact); map-only on top of the existing pair join."""
+    f = rl_pair_features(spark, sf_dir).where(F.col("score") >= 0.5)
+    lo = F.least("lev_sim", "jaccard_sim", "nchars_sim")
+    hi = F.greatest("lev_sim", "jaccard_sim", "nchars_sim")
+    weakest = (
+        F.when(F.col("lev_sim") == lo, F.lit("lev_sim"))
+        .when(F.col("jaccard_sim") == lo, F.lit("jaccard_sim"))
+        .otherwise(F.lit("nchars_sim"))
+    )
+    return f.select(
+        "id_l",
+        "id_r",
+        "score",
+        F.round(F.col("lev_sim") / 3.0, 6).alias("c_lev"),
+        F.round(F.col("jaccard_sim") / 3.0, 6).alias("c_jaccard"),
+        F.round(F.col("nchars_sim") / 3.0, 6).alias("c_nchars"),
+        weakest.alias("weakest_feature"),
+        F.round(hi - lo, 6).alias("strength_gap"),
+    )
+
+
+SQL_RL_MATCH_EXPLANATIONS = f"""
+WITH f AS (
+  SELECT * FROM ({SQL_RL_PAIR_FEATURES}) WHERE score >= 0.5
+)
+SELECT id_l, id_r, score,
+       CAST(round(lev_sim / 3.0, 6) AS DOUBLE) AS c_lev,
+       CAST(round(jaccard_sim / 3.0, 6) AS DOUBLE) AS c_jaccard,
+       CAST(round(nchars_sim / 3.0, 6) AS DOUBLE) AS c_nchars,
+       CASE WHEN lev_sim = least(lev_sim, jaccard_sim, nchars_sim)
+              THEN 'lev_sim'
+            WHEN jaccard_sim = least(lev_sim, jaccard_sim, nchars_sim)
+              THEN 'jaccard_sim'
+            ELSE 'nchars_sim' END AS weakest_feature,
+       CAST(round(greatest(lev_sim, jaccard_sim, nchars_sim)
+                  - least(lev_sim, jaccard_sim, nchars_sim), 6)
+            AS DOUBLE) AS strength_gap
+FROM f
+"""
+
+
 def rl_eval_metrics(spark, sf_dir):
     """A5: P/R/F1 of the match edges against a deterministic 'truth'
     (same source, |n_chars diff| <= 10) via semi/anti joins.
@@ -6563,6 +6615,7 @@ SQL_RL_MATCH_RULE_STATS = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or behavior-changed this round -----------------------------
     "rl_cologne_keys": rl_cologne_keys,
+    "rl_match_explanations": rl_match_explanations,
     "dedup_source_overlap": dedup_source_overlap,
     "rl_mra": rl_mra,
     "rl_canopy_blocks": rl_canopy_blocks,
@@ -6715,6 +6768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "rl_cologne_keys": SQL_RL_COLOGNE_KEYS,
+    "rl_match_explanations": SQL_RL_MATCH_EXPLANATIONS,
     "dedup_source_overlap": SQL_DEDUP_SOURCE_OVERLAP,
     "rl_mra": SQL_RL_MRA,
     "rl_canopy_blocks": SQL_RL_CANOPY_BLOCKS,

@@ -39,6 +39,7 @@ sys.path.insert(0, REPO)
 
 AUDITED = [
     "rl_mra",
+    "rl_match_explanations",
     "dedup_source_overlap",
     "rl_cologne_keys",
     "corpus_chunk_docs",

@@ -67,3 +67,42 @@ def test_matches_brute_force_pairs(spark):
         for r in source_overlap_matrix(*_dfs(spark)).collect()
     }
     assert got == brute
+
+
+class TestMatchExplanations:
+    """rl_match_explanations: contribution algebra against the pair
+    features it decomposes (sums, weakest-feature selection with the
+    pinned tie-break, gap bounds)."""
+
+    def test_decomposition_algebra(self, spark):
+        from idd_hw6_record_linkage_spark import entry_queries as EQ
+
+        sf = "/root/testdata/sf0.001"
+        feats = {
+            (r.id_l, r.id_r): r
+            for r in EQ.rl_pair_features(spark, sf)
+            .where("score >= 0.5")
+            .collect()
+        }
+        rows = EQ.rl_match_explanations(spark, sf).collect()
+        assert len(rows) == len(feats) > 0
+        for r in rows:
+            f = feats[(r.id_l, r.id_r)]
+            sims = {
+                "lev_sim": f.lev_sim,
+                "jaccard_sim": f.jaccard_sim,
+                "nchars_sim": f.nchars_sim,
+            }
+            assert r.c_lev == round(f.lev_sim / 3.0, 6)
+            assert r.c_jaccard == round(f.jaccard_sim / 3.0, 6)
+            assert r.c_nchars == round(f.nchars_sim / 3.0, 6)
+            # contributions reassemble the score (each side rounded)
+            assert abs((r.c_lev + r.c_jaccard + r.c_nchars) - r.score) < 3e-6
+            # weakest = argmin with CASE-order tie-break
+            lo = min(sims.values())
+            order = ["lev_sim", "jaccard_sim", "nchars_sim"]
+            assert r.weakest_feature == next(
+                k for k in order if sims[k] == lo
+            )
+            assert abs(r.strength_gap - (max(sims.values()) - lo)) < 2e-6
+            assert 0.0 <= r.strength_gap <= 1.0
