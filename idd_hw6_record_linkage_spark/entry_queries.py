@@ -4635,6 +4635,54 @@ HAVING sum(np) > 0
 """
 
 
+def dedup_source_rates(spark, sf_dir):
+    """Per-source duplicate rates over the MinHash-LSH cluster
+    assignment — the headline table of every corpus-curation report:
+    for each source, documents, duplicates (docs that are NOT their
+    cluster's representative — cluster_id is the min doc id, so
+    doc_id != cluster_id ⇔ the doc would be dropped by keep-one
+    dedup), and the dup rate. Complements dedup_source_overlap
+    (which says WHO duplicates WHOM) with the per-source headline
+    number. One groupBy on the source key after the cluster join;
+    the DuckDB oracle recomputes it from the same recursive-CTE
+    fixpoint — value-exact."""
+    assign = dedup_doc_clusters(spark, sf_dir)
+    j = assign.join(
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .where(F.col("source").isNotNull()),
+        "doc_id",
+    )
+    dup = (F.col("doc_id") != F.col("cluster_id")).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).alias("n_dups"),
+            F.round(
+                F.sum(dup) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SQL_DEDUP_SOURCE_RATES = f"""
+WITH assign AS ({SQL_DEDUP_DOC_CLUSTERS}),
+j AS (
+  SELECT a.doc_id, a.cluster_id, d.source
+  FROM assign a JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dups,
+       CAST(round(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS dup_rate
+FROM j GROUP BY source
+"""
+
+
 def dedup_cluster_stats(spark, sf_dir):
     """Cluster-size histogram of the dedup deliverable — the shape
     summary an operator watches after a dedup run (singleton share,
@@ -6617,6 +6665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rl_cologne_keys": rl_cologne_keys,
     "rl_match_explanations": rl_match_explanations,
     "dedup_source_overlap": dedup_source_overlap,
+    "dedup_source_rates": dedup_source_rates,
     "rl_mra": rl_mra,
     "rl_canopy_blocks": rl_canopy_blocks,
     "rl_star_clusters": rl_star_clusters,
@@ -6770,6 +6819,7 @@ ORACLES: dict[str, str] = {
     "rl_cologne_keys": SQL_RL_COLOGNE_KEYS,
     "rl_match_explanations": SQL_RL_MATCH_EXPLANATIONS,
     "dedup_source_overlap": SQL_DEDUP_SOURCE_OVERLAP,
+    "dedup_source_rates": SQL_DEDUP_SOURCE_RATES,
     "rl_mra": SQL_RL_MRA,
     "rl_canopy_blocks": SQL_RL_CANOPY_BLOCKS,
     "rl_star_clusters": SQL_RL_STAR_CLUSTERS,

@@ -106,3 +106,32 @@ class TestMatchExplanations:
             )
             assert abs(r.strength_gap - (max(sims.values()) - lo)) < 2e-6
             assert 0.0 <= r.strength_gap <= 1.0
+
+
+def test_source_rates_consistency(spark):
+    """dedup_source_rates: rates recompute from the raw assignment,
+    and totals reconcile with the document counts per source."""
+    from idd_hw6_record_linkage_spark import entry_queries as EQ
+
+    sf = "/root/testdata/sf0.001"
+    assign = {
+        r.doc_id: r.cluster_id
+        for r in EQ.dedup_doc_clusters(spark, sf).collect()
+    }
+    src = {
+        r.doc_id: r.source
+        for r in EQ._docs(spark, sf).select("doc_id", "source").collect()
+    }
+    naive: dict[str, list[int]] = {}
+    for d, c in assign.items():
+        s = src[d]
+        if s is None:
+            continue
+        tot_dup = naive.setdefault(s, [0, 0])
+        tot_dup[0] += 1
+        tot_dup[1] += int(d != c)
+    rows = EQ.dedup_source_rates(spark, sf).collect()
+    got = {r.source: (r.n_docs, r.n_dups, r.dup_rate) for r in rows}
+    assert got == {
+        s: (t, d, round(d / t, 6)) for s, (t, d) in naive.items()
+    }
