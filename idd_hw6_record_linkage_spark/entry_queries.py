@@ -157,6 +157,28 @@ def _block_key() -> F.Column:
     )
 
 
+def _stage(df: DataFrame) -> DataFrame:
+    """Materialize a projected table through one round-robin exchange
+    before a self-join consumes it (guide §2.4/§3 plan-shape fix).
+
+    Whole-stage codegen defers projection evaluation to the point of
+    use: on the probe side of a BroadcastHashJoin, an expensive
+    projection (regex sanitize / tokenize over the full text) is
+    re-evaluated once per JOINED OUTPUT ROW instead of once per
+    record. Measured at sf0.1 (159k pairs from 5k docs): a trivial
+    Arrow UDF over the blocked pair join cost 5.2 s vs 0.35 s for the
+    join alone — all of it full-text regexp re-evaluation inside the
+    Arrow writer loop (jstack: java.util.regex.Matcher under
+    GeneratedIterator → writeSizedBatch). The exchange forces the
+    projected rows to materialize once per record, so the join and
+    any downstream Arrow stage read 40-char computed values, and the
+    exchange ships compact projections, not raw text. At production
+    scale this is one narrow-row shuffle — strictly fewer bytes than
+    shipping the raw text through the same exchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 _SRC_NORM_SQL = "nullif(regexp_replace(lower(trim(source)), '[^a-z0-9]', '', 'g'), '')"
 _BLOCK_KEY_SQL = (
     f"(CASE WHEN {_SRC_NORM_SQL} IS NULL OR lang IS NULL THEN NULL "
@@ -296,7 +318,7 @@ def rl_pair_features(spark, sf_dir):
     # bytes and set Jaccard is hash-invariant, so the oracle (which
     # compares OUTPUT values, computed over string tokens in DuckDB)
     # still matches value-exactly.
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.substring("text", 1, 40).alias("t40"),
         F.array_distinct(
@@ -306,7 +328,7 @@ def rl_pair_features(spark, sf_dir):
         ).alias("toks"),
         F.col("n_chars").cast("double").alias("nc"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("t40").alias("t40_l"),
         F.col("toks").alias("toks_l"), F.col("nc").alias("nc_l"), "block_key",
@@ -462,7 +484,7 @@ def rl_pair_token_sims(spark, sf_dir):
     hash-invariant, so the string-token DuckDB oracle is value-exact).
     Map-only on top of the one block-join shuffle; token arrays are
     distinct-deduped so sizes are set cardinalities."""
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -470,7 +492,7 @@ def rl_pair_token_sims(spark, sf_dir):
             )
         ).alias("toks"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("toks").alias("toks_l"), "block_key"
     )
@@ -532,7 +554,7 @@ def rl_qgram_cosine(spark, sf_dir):
         qgram_cosine_for_pairs,
     )
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.substring(
             F.regexp_replace(
@@ -542,7 +564,7 @@ def rl_qgram_cosine(spark, sf_dir):
             32,
         ).alias("qkey"),
         _block_key().alias("block_key"),
-    )
+    ))
     pairs = (
         docs.select(F.col("doc_id").alias("id_l"), "block_key")
         .join(
@@ -611,11 +633,11 @@ def rl_weighted_jaccard(spark, sf_dir):
         1,
         40,
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(s, F.lit("")).alias("s"),
         _block_key().alias("block_key"),
-    )
+    ))
     n_docs = docs.count()
     pairs = (
         docs.select(F.col("doc_id").alias("id_l"), "block_key")
@@ -752,11 +774,11 @@ def rl_jaro_duck(spark, sf_dir):
         1,
         40,
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(s, F.lit("")).alias("s"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
     )
@@ -820,11 +842,11 @@ def rl_nw_unit(spark, sf_dir):
         1,
         40,
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(s, F.lit("")).alias("s"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
     )
@@ -886,11 +908,11 @@ def rl_bag_distance(spark, sf_dir):
         1,
         40,
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(s, F.lit("")).alias("s"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
     )
@@ -978,11 +1000,11 @@ def rl_lcs(spark, sf_dir):
         1,
         40,
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(s, F.lit("")).alias("s"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
     )
@@ -1064,11 +1086,11 @@ def rl_sw_unit(spark, sf_dir):
         1,
         40,
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(s, F.lit("")).alias("s"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
     )
@@ -1148,11 +1170,11 @@ def rl_editex_unit(spark, sf_dir):
         1,
         40,
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(s, F.lit("")).alias("s"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
     )
@@ -1205,11 +1227,11 @@ def rl_editex_gate(spark, sf_dir):
         1,
         40,
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(s, F.lit("")).alias("s"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
     )
@@ -2167,6 +2189,10 @@ def rl_golden_records(spark, sf_dir):
     )
 
     clusters = rl_clusters(spark, sf_dir)  # (url, entity_id), string ids
+    # localCheckpoint (eager): consolidate_clusters scans the member
+    # table once per rule family (plain aggs + one pass per mode
+    # column); unmaterialized, every scan re-runs the whole CC
+    # fixpoint output join (12 parquet scans in the r05 plan).
     members = clusters.join(
         _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("url"),
@@ -2174,7 +2200,7 @@ def rl_golden_records(spark, sf_dir):
             "text", "lang", "source", "n_chars",
         ),
         "url",
-    )
+    ).localCheckpoint(eager=True)
     return consolidate_clusters(
         members,
         "entity_id",
@@ -2739,13 +2765,13 @@ def rl_mra(spark, sf_dir):
     )
 
     tok = F.upper(F.split(F.col("p_name"), " ").getItem(0))
-    parts = _scan(spark, sf_dir, "part").select(
+    parts = _stage(_scan(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_brand").alias("brand"),
         F.col("p_size").alias("psize"),
         tok.alias("tok"),
         mra_codex(tok).alias("mra"),
-    )
+    ))
     l = parts.select(  # noqa: E741
         F.col("p_partkey").alias("id_l"),
         F.col("tok").alias("tok_l"),
@@ -3241,11 +3267,11 @@ def rl_monge_elkan(spark, sf_dir):
         monge_elkan_sym,
     )
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.slice(F.split(F.trim("text"), r"\s+"), 1, 6).alias("toks"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("toks").alias("toks_l"), "block_key"
     )
@@ -3309,9 +3335,9 @@ def rl_damerau(spark, sf_dir):
     )
 
     s = F.coalesce(F.substring(F.trim(F.col("text")), 1, 40), F.lit(""))
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id", s.alias("s"), _block_key().alias("block_key")
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("s").alias("s_l"), "block_key"
     )
@@ -3846,11 +3872,11 @@ def rl_soft_tfidf(spark, sf_dir):
         soft_tfidf,
     )
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.slice(F.split(F.trim("text"), r"\s+"), 1, 6).alias("toks"),
         _block_key().alias("block_key"),
-    )
+    ))
     n_docs = docs.count()
     w = doc_token_weights(docs, "doc_id", "toks", n_docs=n_docs)
     base = docs.join(w, "doc_id")
@@ -3983,11 +4009,11 @@ def rl_sw_gate(spark, sf_dir):
         sim_smith_waterman,
     )
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.lower(F.substring(F.coalesce("text", F.lit("")), 1, 40)).alias("snip"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("snip").alias("snip_l"), "block_key"
     )
@@ -4166,7 +4192,7 @@ def _cross_source_scored(spark, sf_dir, l_filter=None, r_filter=None):
         l_filter = F.col("doc_id") % 3 == 0
     if r_filter is None:
         r_filter = F.col("doc_id") % 3 != 0
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.substring("text", 1, 40).alias("t40"),
         F.array_distinct(
@@ -4176,7 +4202,7 @@ def _cross_source_scored(spark, sf_dir, l_filter=None, r_filter=None):
         ).alias("toks"),
         F.col("n_chars").cast("double").alias("nc"),
         _block_key().alias("block_key"),
-    ).where(F.col("block_key").isNotNull())
+    )).where(F.col("block_key").isNotNull())
     l = docs.where(l_filter).select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("t40").alias("t40_l"),
         F.col("toks").alias("toks_l"), F.col("nc").alias("nc_l"), "block_key",
@@ -4888,11 +4914,20 @@ def corpus_quality_filter(spark, sf_dir):
     of [length band, punctuation, stopword floor, repetition cap] or
     keep. The oracle recomputes every signal with the per-signal
     engine-parity SQL and the same rule order — value-exact."""
+    # Two projections, not one: `keep` references the whole CASE chain
+    # (tokenize + stopword + n-gram repetition signals), and a single
+    # SELECT would evaluate it twice per row. CollapseProject keeps
+    # the stages separate because the inner alias is non-cheap and
+    # referenced twice, so the chain runs once per document.
     reason = TA.reject_reason_expr("text")
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        reason.alias("reject_reason"),
-        reason.isNull().cast("long").alias("keep"),
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", reason.alias("reject_reason"))
+        .select(
+            "doc_id",
+            "reject_reason",
+            F.col("reject_reason").isNull().cast("long").alias("keep"),
+        )
     )
 
 
@@ -6551,7 +6586,7 @@ def _match_rule_pairs(spark, sf_dir):
         apply_match_rules,
     )
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _stage(_docs(spark, sf_dir).select(
         "doc_id",
         F.substring("text", 1, 40).alias("t40"),
         F.array_distinct(
@@ -6561,7 +6596,7 @@ def _match_rule_pairs(spark, sf_dir):
         ).alias("toks"),
         F.col("n_chars").cast("double").alias("nc"),
         _block_key().alias("block_key"),
-    )
+    ))
     l = docs.select(  # noqa: E741
         F.col("doc_id").alias("id_l"), F.col("t40").alias("t40_l"),
         F.col("toks").alias("toks_l"), F.col("nc").alias("nc_l"), "block_key",

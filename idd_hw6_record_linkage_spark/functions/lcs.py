@@ -54,24 +54,48 @@ def lcs_len(l: Column | str, r: Column | str) -> Column:  # noqa: E741
     s = F.when(left_shorter, lc).otherwise(rc)
     t = F.when(left_shorter, rc).otherwise(lc)
     n_win = F.length(s)
-    # For each window length n in 1..len(s): n if ANY offset i yields
-    # a window contained in t, else 0; the max over lengths is the
-    # LCS length. sequence(1, 0) in Spark counts DOWN ([1, 0]), so
-    # the n_win = 0 case is guarded outside rather than relying on an
-    # empty sequence (DuckDB's generate_series(1, 0) IS empty — the
-    # guard keeps the two engines' bases identical by construction).
-    per_len = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda n: F.when(
-            F.exists(
-                F.sequence(F.lit(1), n_win - n + F.lit(1)),
-                lambda i: F.contains(t, s.substr(i, n)),
-            ),
-            n,
-        ).otherwise(F.lit(0)),
+
+    # "Some window of s with length m is contained in t" is MONOTONE
+    # in m (any length-m common substring contains a length-(m-1)
+    # one), so the max qualifying length is found by BINARY SEARCH
+    # over m in [0, n_win] instead of probing every length 1..n_win:
+    # ceil(log2(n+1)) existence probes instead of n (6 vs 40 at the
+    # contract queries' 40-char slices — measured 7.3 s → ~2 s at
+    # sf0.1). Each probe is the same native exists/contains scan the
+    # linear enumeration used, so the result is value-identical; the
+    # DuckDB oracle keeps the straight enumeration, independently
+    # pinning the search's correctness. Expressed as aggregate() over
+    # a length-dependent step sequence with a (lo, hi) struct
+    # accumulator — invariant: ok(lo) holds (ok(0) vacuously: the
+    # empty window is contained in anything), everything above hi
+    # fails.
+    n_steps = F.greatest(
+        F.ceil(F.log2(n_win.cast("double") + F.lit(1.0))).cast("int"),
+        F.lit(1),
+    )
+    def _bisect(acc, _):
+        lo, hi = acc["lo"], acc["hi"]
+        mid = F.floor((lo + hi + F.lit(1)) / F.lit(2)).cast("int")
+        ok = F.exists(
+            F.sequence(F.lit(1), n_win - mid + F.lit(1)),
+            lambda i: F.contains(t, s.substr(i, mid)),
+        )
+        return F.when(lo == hi, acc).otherwise(
+            F.when(
+                ok,
+                F.struct(mid.alias("lo"), hi.alias("hi")),
+            ).otherwise(
+                F.struct(lo.alias("lo"), (mid - F.lit(1)).alias("hi"))
+            )
+        )
+
+    res = F.aggregate(
+        F.sequence(F.lit(1), n_steps),
+        F.struct(F.lit(0).alias("lo"), n_win.alias("hi")),
+        _bisect,
     )
     return (
-        F.when(n_win >= 1, F.array_max(per_len)).otherwise(F.lit(0))
+        F.when(n_win >= 1, res["lo"]).otherwise(F.lit(0))
     ).cast("long")
 
 

@@ -149,12 +149,22 @@ def triangle_support(
     are one more hash aggregate over found triangles, never a
     collect_set of neighborhoods.
     """
+    # localCheckpoint (eager): `e` is consumed four times (two degree
+    # scans, the orientation join, the final left join) and `o` three
+    # times (both wedge sides + the closing join). Without
+    # materialization every reference re-executes the caller's whole
+    # upstream plan — for the match-edge graph that is the blocked
+    # pair join + comparator scoring, and the r05 physical plan held
+    # 64 scans of the same parquet. The edge set is orders of
+    # magnitude smaller than the upstream pair computation at any
+    # scale, so materializing it is the cheap side of the trade.
     e = (
         edges.select(
             F.least(id_l, id_r).alias("a"), F.greatest(id_l, id_r).alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -172,7 +182,7 @@ def triangle_support(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
     o2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
     wedges = o1.join(o2, "u").where(

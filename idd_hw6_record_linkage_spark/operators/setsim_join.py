@@ -62,6 +62,15 @@ def jaccard_setsim_join(
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must satisfy 0 < num/den <= 1")
 
+    # localCheckpoint (eager): tok feeds the df-count aggregate AND the
+    # ordering join; ordered feeds the prefix explode AND both verify
+    # sides. Without materialization each reference re-executes the
+    # whole explode→distinct→join→collect_list chain (the r05 plan
+    # held 16 parquet scans of the same table); filter/projection
+    # differences pushed below the exchanges defeat ReuseExchange.
+    # One row per record / one row per distinct (id, token) — both
+    # bounded by the sliced key basis, so the materialization is small
+    # at any scale.
     tok = (
         df.select(
             F.col(id_col).alias("id"),
@@ -69,6 +78,7 @@ def jaccard_setsim_join(
         )
         .where(F.col("token").isNotNull() & (F.col("token") != ""))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
     # one sorted (df, token) array per record: global rarest-first canon
@@ -85,6 +95,7 @@ def jaccard_setsim_join(
             F.expr("transform(__ord, x -> x.token)").alias("toks"),
             F.size("__ord").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     # prefix length n - ceil(n*num/den) + 1, all integer
     pref_len = (

@@ -60,6 +60,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Fork workers from a daemon that has numpy/pandas/pyarrow
+        # already imported (copy-on-write inheritance) — first-task
+        # import cost of Arrow UDF stages drops to zero. See
+        # daemon_preload.py; harmless fallback: if the module were
+        # missing the session would fail loudly at first Python stage.
+        .config(
+            "spark.python.daemon.module",
+            "idd_hw6_record_linkage_spark.daemon_preload",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
