@@ -61,6 +61,45 @@ def bag_distance(l: Column | str, r: Column | str) -> Column:  # noqa: E741
     ).cast("long")
 
 
+def bag_distance_fixed_alphabet(
+    l: Column | str,  # noqa: E741
+    r: Column | str,
+    alphabet: str,
+) -> Column:
+    """Exact bag distance for strings over a KNOWN finite alphabet,
+    with zero higher-order functions.
+
+    Identity: with I = Σ_c min(count_l(c), count_r(c)) the multiset
+    intersection size, one_sided(a,b) = |a| − I, so
+    ``bag = max(|a| − I, |b| − I) = max(|a|, |b|) − I``. Each per-char
+    count is the native ``length(s) − length(replace(s, c))``
+    difference, so the whole expression stays in whole-stage codegen —
+    the generic :func:`bag_distance` evaluates its multiset algebra
+    through INTERPRETED higher-order lambdas that re-split both
+    strings once per domain character (~100 splits per pair; measured
+    ~2.5 s of the contract query's wall at sf0.1).
+
+    Correct ONLY when every character of both inputs lies in
+    ``alphabet`` (a foreign char shared by both sides would be missing
+    from I and inflate the distance) — callers pass a sanitized basis,
+    e.g. the contract query's ``[a-z0-9 ]`` regex slice. Equality with
+    the generic form on in-alphabet strings is pytest-pinned.
+    NULL-as-empty, like :func:`bag_distance`."""
+    lc = F.coalesce(F.col(l) if isinstance(l, str) else l, F.lit(""))
+    rc = F.coalesce(F.col(r) if isinstance(r, str) else r, F.lit(""))
+
+    def _cnt(c: Column, ch: str) -> Column:
+        return F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))
+
+    inter = sum(
+        (F.least(_cnt(lc, ch), _cnt(rc, ch)) for ch in alphabet),
+        F.lit(0),
+    )
+    return (
+        F.greatest(F.length(lc), F.length(rc)) - inter
+    ).cast("long")
+
+
 def sim_bag(l: Column | str, r: Column | str) -> Column:  # noqa: E741
     """Normalized bag similarity 1 − bag/max(len); both-empty → 1.0.
     Because bag ≤ levenshtein, sim_bag ≥ sim_levenshtein — an

@@ -136,6 +136,36 @@ def lang_id_expr(col: Column | str, min_hits: int = 1) -> Column:
     return expr
 
 
+def sliding_concat(toks: Column, n: int) -> Column:
+    """Space-joined sliding n-grams of a (non-null-element) token
+    array, built from ``zip_with`` over shifted slices.
+
+    The obvious formulation — ``transform(sequence(1, len-n+1),
+    i -> concat(element_at(toks, i), ...))`` — is a performance trap:
+    higher-order functions evaluate INTERPRETED (no codegen), and a
+    lambda body that references the token-array EXPRESSION (rather
+    than a lambda variable) re-evaluates that whole expression per
+    element — for ``toks`` built by regex/split over the full text,
+    that is O(tokens) full-text splits per row (measured: the minhash
+    shingle pass and the repetition signal were ~6 s/5k docs at
+    sf0.1, all re-split time). ``zip_with`` lambdas see only element
+    variables, so the array expressions evaluate once per ROW.
+
+    Shorter-than-n inputs yield an empty array. Trailing zip_with
+    null-padding is cut by the final slice, so no null grams leak
+    (concat over a null pad would null the gram anyway — sliced off)."""
+    g = toks
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.slice(
+        g, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    )
+
+
 def word_ngrams_expr(col: Column | str, n: int = 3) -> Column:
     """Lowercased word n-grams (space-joined) of the text. Whitespace
     is the explicit class ``[\\t-\\r ]`` (not ``\\s``) so Java regex
@@ -145,13 +175,7 @@ def word_ngrams_expr(col: Column | str, n: int = 3) -> Column:
         F.split(F.lower(_c(col)), r"[\t-\r ]+"),
         lambda t: F.length(t) > 0,
     )
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    grams = sliding_concat(toks, n)
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )

@@ -31,12 +31,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", "u").alias("m"))
+    # No dropDuplicates here: duplicate edges are harmless to every
+    # downstream min-aggregation, _small_star dedups its output each
+    # round anyway, and the extra exchange was one of six shuffle
+    # stages per CC iteration (pure fixed overhead on the post-initial
+    # iterations' small edge sets).
     return (
         nbrs.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
     )
 
 
@@ -76,6 +80,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
     prev_sig = None
     for _ in range(max_iter):
+        # Eager checkpoint, deliberately: a lazy one (materialized by
+        # the signature job) measured SLOWER end-to-end for consumers
+        # of the final assignment — downstream jobs re-derived part of
+        # the un-finalized checkpoint — while the eager form pins each
+        # round's edge set once.
         cur = _small_star(_large_star(cur)).localCheckpoint()
         sig = _edge_signature(cur)
         if sig == prev_sig:

@@ -488,7 +488,11 @@ def source_overlap_matrix(
             "source_r",
             F.when(
                 F.col("source_l") == F.col("source_r"),
-                (F.col("n_l") * (F.col("n_l") - 1) / 2).cast("long"),
+                # Integer division (div), not float `/`-then-cast: the
+                # DuckDB oracle uses `//` and the docstring promises
+                # exact BIGINT arithmetic end to end — the float path
+                # diverges once n*(n-1) exceeds 2^53.
+                F.expr("n_l * (n_l - 1) div 2"),
             )
             .otherwise(F.col("n_l") * F.col("n_r"))
             .alias("np"),

@@ -66,7 +66,13 @@ def qgram_cosine_for_pairs(
     """pairs(id_l, id_r) → same plus ``out_col``: cosine of the two
     raw q-gram count vectors, rounded to 6 dp. Pairs sharing no gram
     — including either side having a sub-q or NULL key — get 0.0."""
-    cnt = qgram_counts(records, id_col, key_col, q)
+    # localCheckpoint (eager): cnt feeds the norm aggregate and BOTH
+    # sides of the dot-product join; pairs feeds the dot join and the
+    # final assembly. Unmaterialized, every reference re-executes the
+    # gram explode / pair self-join chain (16 parquet scans of the
+    # same table in the r05 plan). Both are slim integer-keyed shapes.
+    pairs = pairs.localCheckpoint(eager=True)
+    cnt = qgram_counts(records, id_col, key_col, q).localCheckpoint(eager=True)
     norm2 = cnt.groupBy("id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("norm2")
     )

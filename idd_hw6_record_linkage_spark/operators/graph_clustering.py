@@ -76,7 +76,17 @@ def star_clusters(
     are local maxima of the (degree DESC, id ASC) dominance order;
     satellites attach to their best adjacent center; nodes with no
     adjacent center (including isolated nodes) are their own
-    centers."""
+    centers.
+
+    PRECONDITION: every edge endpoint must appear in ``all_ids``.
+    Candidate/attached rows are derived from the adjacency (not the
+    universe), so a foreign endpoint would be emitted as a satellite
+    while the center/singleton fallback only covers universe rows —
+    output ids would stop being a subset of ``all_ids``.
+    (``pivot_clusters`` drops foreign endpoints naturally via its
+    active-set joins; here the contract is on the caller, which every
+    shipped call site satisfies: edges are always built from the same
+    table as the universe.)"""
     nbrs = _sym_edges(edges)
     deg = nbrs.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # (v, u, deg_v, deg_u) for every adjacency, both roles resolved.

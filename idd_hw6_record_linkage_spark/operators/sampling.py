@@ -193,6 +193,14 @@ def temperature_rates(
         else F.sum(F.col(weight_col).cast("long"))
     )
     w = d.groupBy(F.col(source_col).alias("source")).agg(wexpr.alias("w"))
+    # A zero/NULL-weight source (possible with weight_col, e.g. all-NULL
+    # token counts) would make p=0, qr=0, m = (0/qsum)/0 = NaN — and
+    # Spark's max() sorts NaN above every double, so mmax would be NaN
+    # and every rate NaN; the downstream fate < rate filter then keeps
+    # EVERYTHING (NaN comparisons), silently turning the temperature
+    # sample into a no-op. Drop degenerate sources up front: a source
+    # with no measurable weight has no defined share in the mix.
+    w = w.where(F.col("w") > 0)
     tot = w.agg(F.sum("w").cast("long").alias("tot"))
     p = w.crossJoin(F.broadcast(tot)).select(
         "source",

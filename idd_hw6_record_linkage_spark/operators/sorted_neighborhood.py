@@ -110,7 +110,12 @@ def sorted_neighborhood_pairs(
     each unordered pair appears exactly once (positions are unique)."""
     if window < 2:
         raise ValueError(f"window must be >= 2 positions: {window}")
-    pos = global_sort_positions(df, id_col, key_col, num_partitions)
+    # localCheckpoint (eager): both join sides read the position table,
+    # and each unmaterialized reference would re-run the offsets join +
+    # per-partition sort window. Slim (id, key, pos) rows.
+    pos = global_sort_positions(
+        df, id_col, key_col, num_partitions
+    ).localCheckpoint(eager=True)
     left = pos.select(
         F.col(id_col).alias("id_l"),
         F.col(key_col).alias("key_l"),

@@ -53,28 +53,34 @@ def token_windows(
     if window < 1 or stride < 1:
         raise ValueError(f"window/stride must be >= 1: {window}/{stride}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Stage the token array as a real column before the window
+    # transform: HOF lambdas evaluate interpreted, and slice(<split
+    # expression>, ...) in the lambda body would re-split the full
+    # text once per WINDOW (~n_tokens/stride times per doc). With the
+    # staged attribute the per-window work is the slice+hash only;
+    # CollapseProject keeps the multi-referenced non-cheap alias in
+    # its own projection.
+    staged = df.where(
+        F.col(text_col).isNotNull() & (F.size(toks) >= F.lit(window))
+    ).select(F.col(id_col), toks.alias("__toks"))
+    tcol = F.col("__toks")
     starts = F.sequence(
         F.lit(0),
-        F.floor((F.size(toks) - window) / stride).cast("int"),
+        F.floor((F.size(tcol) - window) / stride).cast("int"),
     )
-    return (
-        df.where(
-            F.col(text_col).isNotNull() & (F.size(toks) >= F.lit(window))
-        )
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    starts,
-                    lambda i: _win_key(
-                        F.concat_ws(
-                            " ", F.slice(toks, i * stride + 1, window)
-                        ),
-                        base,
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: _win_key(
+                    F.concat_ws(
+                        " ", F.slice(tcol, i * stride + 1, window)
                     ),
-                )
-            ).alias("win_no", "win_key"),
-        )
+                    base,
+                ),
+            )
+        ).alias("win_no", "win_key"),
     )
 
 

@@ -88,7 +88,15 @@ def weighted_jaccard_for_pairs(
     of the records table (callers already know it; taking it as an
     argument keeps this a pure plan builder with no hidden action).
     """
-    toks = _tokens(records, id_col, key_col)
+    # localCheckpoint (eager): toks feeds the df aggregate, the weight
+    # join AND the right intersection side; pairs feeds the
+    # intersection join and the final assembly. Unmaterialized, each
+    # reference re-executes the whole upstream chain (the r05 plan
+    # held 22 parquet scans of the same table). Both tables are the
+    # slim (id, token) / (id_l, id_r) shapes — cheap to pin at any
+    # scale next to the token-key shuffle they feed.
+    pairs = pairs.localCheckpoint(eager=True)
+    toks = _tokens(records, id_col, key_col).localCheckpoint(eager=True)
     w = token_micro_idf(toks, n_docs)
     tw = toks.join(w, "token")
 

@@ -11,7 +11,11 @@ from collections import Counter
 
 from pyspark.sql import functions as F
 
-from idd_hw6_record_linkage_spark.functions.bag import bag_distance, sim_bag
+from idd_hw6_record_linkage_spark.functions.bag import (
+    bag_distance,
+    bag_distance_fixed_alphabet,
+    sim_bag,
+)
 
 
 def _bag_naive(a: str, b: str) -> int:
@@ -72,6 +76,41 @@ def test_naive_parity_and_lower_bound(spark):
         assert bag == _bag_naive(a, b), (a, b)
         assert lev == _lev(a, b), (a, b)
         assert bag <= lev, (a, b)  # the filter-and-verify theorem
+
+
+def test_fixed_alphabet_equals_generic(spark):
+    """The codegen fixed-alphabet form (used by the contract query on
+    its sanitized [a-z0-9 ] basis) must equal the generic HOF multiset
+    form on every in-alphabet input, including empties and NULLs."""
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    rng = random.Random(11)
+    pairs = [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40))),
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40))),
+        )
+        for _ in range(300)
+    ] + [("", ""), ("abc", ""), ("", "0 9"), ("listen", "silent")]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["i", "a", "b"]
+    ).repartition(4)
+    rows = df.select(
+        "i",
+        bag_distance("a", "b").alias("generic"),
+        bag_distance_fixed_alphabet("a", "b", alpha).alias("fixed"),
+    ).collect()
+    for r in rows:
+        assert r["generic"] == r["fixed"], pairs[r["i"]]
+    # NULL-as-empty convention matches too
+    nrow = (
+        spark.createDataFrame([(None, "ab")], "a string, b string")
+        .select(
+            bag_distance("a", "b").alias("g"),
+            bag_distance_fixed_alphabet("a", "b", alpha).alias("f"),
+        )
+        .collect()[0]
+    )
+    assert nrow["g"] == nrow["f"] == 2
 
 
 def test_null_and_sim_conventions(spark):
