@@ -73,12 +73,17 @@ def qgram_candidates(
     record is counted AFTER the drop, so the fraction stays a true
     fraction of the joinable grams). Output: (id_l, id_r, n_common,
     frac), id_l < id_r."""
+    # localCheckpoint (eager): the kept key table feeds the per-record
+    # count AND both self-join sides; unmaterialized, each of the
+    # three references re-runs the gram explode (+ df-profile join).
+    # Slim (id, gram) rows bounded by the sliced key basis.
     keys = qgram_keys(df, id_col, key_col, q)
     if max_df is not None:
         freq = qgram_df_profile(keys)
         keys = keys.join(
             freq.where(F.col("df") <= max_df).select("gram"), "gram"
         )
+    keys = keys.localCheckpoint(eager=True)
     ng = keys.groupBy("id").agg(F.count(F.lit(1)).alias("n_g"))
     l = keys.select(F.col("id").alias("id_l"), "gram")  # noqa: E741
     r = keys.select(F.col("id").alias("id_r"), "gram")

@@ -75,6 +75,10 @@ def suffix_candidates(
     kept suffixes and max_suffix_len is the longest shared one, both
     useful ranking signals downstream (a 30-char shared suffix is a
     much stronger match hint than a 5-char one)."""
+    # localCheckpoint (eager): the kept key table feeds BOTH self-join
+    # sides; unmaterialized, each side re-runs the suffix explode (+
+    # the df-profile join). Slim (id, suffix) rows bounded by the
+    # sliced key basis.
     keys = suffix_keys(df, id_col, key_col, min_len)
     if max_block_size is not None:
         freq = suffix_df_profile(keys)
@@ -82,6 +86,7 @@ def suffix_candidates(
             freq.where(F.col("df") <= max_block_size).select("suffix"),
             "suffix",
         )
+    keys = keys.localCheckpoint(eager=True)
     l = keys.select(F.col("id").alias("id_l"), "suffix")  # noqa: E741
     r = keys.select(F.col("id").alias("id_r"), "suffix")
     return (
